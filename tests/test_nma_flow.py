@@ -1,0 +1,105 @@
+"""Invertibility / log-det / causality tests for the NMA conv-IAF stack.
+
+These are the unit tests the reference never had for its hardest component
+(SURVEY.md §7.3 item 2): the windowed log-density contract is checked against
+an exact autodiff Jacobian of the restricted map z_window -> x_window.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from viforssms_tpu.distributions.normal import normal_logpdf
+from viforssms_tpu.flows.nma import NMAFlowStack, pairwise_swap
+
+
+def _build(flow_dims, mu_softplus=False):
+    kernel_len, no_flows, batch_dims = 4, 2, 6
+    stack = NMAFlowStack(
+        network_dims=(8, 8, 8),
+        kernel_len=kernel_len,
+        no_flows=no_flows,
+        batch_dims=batch_dims,
+        flow_dims=flow_dims,
+        use_norm=(flow_dims == 2),
+        mu_softplus=mu_softplus,
+    )
+    kernel_ext = kernel_len * no_flows + flow_dims * batch_dims + flow_dims
+    F = 5
+    key = jax.random.key(0)
+    z = jax.random.normal(key, (3, kernel_ext))
+    feats = jax.random.normal(jax.random.key(1), (3, kernel_ext, F))
+    theta = jax.random.normal(jax.random.key(2), (3, 3))
+    params = stack.init(jax.random.key(3), z, feats, theta)
+    return stack, params, z, feats, theta, kernel_ext, batch_dims * flow_dims + flow_dims
+
+
+def test_pairwise_swap():
+    x = jnp.arange(12.0).reshape(2, 6)
+    y = pairwise_swap(x)
+    np.testing.assert_allclose(y[0], [1, 0, 3, 2, 5, 4])
+    np.testing.assert_allclose(pairwise_swap(y), x)
+
+
+@pytest.mark.parametrize("flow_dims,mu1", [(1, False), (2, False), (2, True)])
+def test_shapes_and_finiteness(flow_dims, mu1):
+    stack, params, z, feats, theta, kext, out_len = _build(flow_dims, mu1)
+    x, log_q = stack.apply(params, z, feats, theta)
+    assert x.shape == (3, out_len)
+    assert log_q.shape == (3,)
+    assert np.all(np.isfinite(x)) and np.all(np.isfinite(log_q))
+
+
+@pytest.mark.parametrize("flow_dims,mu1", [(1, False), (2, False), (2, True)])
+def test_windowed_log_det_matches_jacobian(flow_dims, mu1):
+    """log q = base_window_lp - logabsdet(d x_win / d z_win) for fixed context."""
+    stack, params, z, feats, theta, kext, out_len = _build(flow_dims, mu1)
+    window = out_len - flow_dims  # flow_dims * batch_dims
+    z0 = z[:1]
+    feats0, theta0 = feats[:1], theta[:1]
+
+    def f(zw):
+        z_full = z0.at[0, -window:].set(zw)
+        x, _ = stack.apply(params, z_full, feats0, theta0)
+        return x[0, -window:]
+
+    zw0 = z0[0, -window:]
+    jac = jax.jacobian(f)(zw0)
+    _, logdet = np.linalg.slogdet(np.asarray(jac))
+    _, log_q = stack.apply(params, z0, feats0, theta0)
+    base_lp = float(jnp.sum(normal_logpdf(z0, 0.0, 1.0)[0, -window:]))
+    np.testing.assert_allclose(float(log_q[0]), base_lp - logdet, rtol=1e-3, atol=1e-3)
+
+
+def test_causality_no_forward_leakage():
+    """x_t must not depend on z_s for s > t (1-D flow)."""
+    stack, params, z, feats, theta, kext, out_len = _build(1)
+    z0, feats0, theta0 = z[:1], feats[:1], theta[:1]
+
+    def f(zf):
+        x, _ = stack.apply(params, zf[None, :], feats0, theta0)
+        return x[0]
+
+    jac = np.asarray(jax.jacobian(f)(z0[0]))  # (out_len, kernel_ext)
+    offset = kext - out_len  # context consumed by the convs
+    for t in range(out_len):
+        # output t may depend on z up to index t + offset only
+        assert np.allclose(jac[t, t + offset + 1 :], 0.0, atol=1e-7), t
+
+
+def test_context_locality_window():
+    """x_t depends on at most no_flows*kernel_len past z's (the NMA locality)."""
+    stack, params, z, feats, theta, kext, out_len = _build(1)
+    z0, feats0, theta0 = z[:1], feats[:1], theta[:1]
+
+    def f(zf):
+        x, _ = stack.apply(params, zf[None, :], feats0, theta0)
+        return x[0]
+
+    jac = np.asarray(jax.jacobian(f)(z0[0]))
+    offset = kext - out_len  # = no_flows * kernel_len
+    t = out_len - 1
+    # dependence reaches back at most offset + 1 z-steps (AR.py:132 window arithmetic)
+    lo = t + offset - (offset + 1)
+    assert np.allclose(jac[t, : max(lo, 0)], 0.0, atol=1e-7)

@@ -1,0 +1,200 @@
+"""The neural-moving-average (NMA) variational sampler.
+
+A stack of local inverse-autoregressive flows built from valid-padded causal
+1-D convolutions with feature and theta injection — the TPU-native
+re-expression of the reference's ``IAF`` / ``Flow_Stack`` / ``Permute``
+classes (1-D: ``AR.py:38-110``; interleaved 2-D: ``lotka_volterra_partial.py:
+55-159``; "mu1" stability variant: ``lotka_volterra_latest_batch_gpt_64_mu1_
+cov.py:153-162``).
+
+Design notes (TPU-first):
+  * Everything is a static-shape tensor program: one compiled step serves all
+    window positions (the reference re-fed placeholders per step).
+  * The causal conv is ``lax.conv_general_dilated`` via ``flax.linen.Conv``
+    with VALID padding — XLA lowers it to MXU matmuls; the 1x1-conv towers are
+    plain matmuls that XLA fuses with the ELU/softplus elementwise tails.
+  * The 2-D "pairwise permute" between flows — a ``tf.scatter_nd`` with a
+    precomputed (p, L, 2) index tensor in the reference
+    (``lotka_volterra_partial.py:137-159``) — is a static reshape/flip here:
+    zero data movement beyond a relayout, no gather/scatter.
+  * Log-density bookkeeping follows the windowed-base contract
+    (``AR.py:31-35``): base log-prob and per-flow ``-sum(log sigma)`` are
+    accumulated over only the last ``flow_dims * batch_dims`` positions (the
+    target window); the left ``no_flows * kernel_len`` context positions are
+    free, which is what makes the ELBO minibatchable over time and the time
+    axis shardable with halo exchange (SURVEY.md §5).
+
+Reference quirk preserved on purpose: the 2-D variants call
+``tf.layers.batch_normalization`` without ever running the update ops and
+with ``training=False`` defaults, so moving statistics stay at (0, 1) forever
+and the layer degenerates to a learnable elementwise affine. ``ScaleOffset``
+implements exactly that degenerate behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from viforssms_tpu.distributions.normal import normal_logpdf
+
+
+def pairwise_swap(x):
+    """Swap adjacent positions (0<->1, 2<->3, ...) along the last axis.
+
+    Equivalent to the reference's scatter_nd pair permutation
+    (``lotka_volterra_partial.py:206-213``) but as a static relayout.
+    """
+    p, L = x.shape
+    return x.reshape(p, L // 2, 2)[:, :, ::-1].reshape(p, L)
+
+
+class ScaleOffset(nn.Module):
+    """Learnable elementwise affine = the reference's frozen batch-norm (see module docstring)."""
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("scale", nn.initializers.ones, (x.shape[-1],), x.dtype)
+        beta = self.param("offset", nn.initializers.zeros, (x.shape[-1],), x.dtype)
+        return gamma * x + beta
+
+
+class ConvIAF(nn.Module):
+    """One local IAF conv flow: z -> x = z[K:] * sigma + mu.
+
+    1-D (``AR.py:50-85``): features are 4 ELU dense layers over the aligned
+    time-series feature window; output conv has stride 1 and 2 channels.
+
+    2-D interleaved (``lotka_volterra_partial.py:68-104``): features are
+    3 ELU dense layers + a transposed ELU projection to width ``feat_dims``
+    (the reference feeds the FULL feature window to every flow and lets this
+    transpose re-shape it to the shrinking conv length); the output conv has
+    stride 2, producing one (mu, sigma) pair per interleaved (u, v) pair,
+    re-interleaved with an identity half so each flow transforms only one
+    species per step.
+    """
+
+    network_dims: Tuple[int, ...]
+    kernel_len: int
+    flow_dims: int = 1
+    feat_dims: int = 0        # 2-D only: width of the transposed feature projection
+    use_norm: bool = False    # ScaleOffset between 1x1 convs (non-AR scripts)
+    mu_softplus: bool = False  # "mu1" variant: identity-half mu=1, softplus'd mu
+    sigma_eps: float = 1e-10
+
+    @nn.compact
+    def __call__(self, z, ts_feats, theta):
+        """z: (p, L); ts_feats: (p, Lf, F); theta: (p, D) -> (x, log_sigma).
+
+        Returns ``x`` of shape (p, L - kernel_len) and elementwise
+        ``log_sigma`` of the same shape (caller reduces over its window).
+        """
+        w0 = self.network_dims[0]
+        p = z.shape[0]
+
+        # --- feature net ---
+        h = ts_feats[:, :-1, :]
+        if self.flow_dims == 1:
+            for i in range(4):  # AR.py:53-56
+                h = nn.elu(nn.Dense(w0, name=f"feat_{i}")(h))
+        else:
+            for i in range(3):  # lotka_volterra_partial.py:72-74
+                h = nn.elu(nn.Dense(w0, name=f"feat_{i}")(h))
+            # transposed projection to the conv length (lotka_volterra_partial.py:75-76)
+            h = nn.elu(nn.Dense(self.feat_dims, name="feat_T")(h))
+            h = jnp.transpose(h, (0, 2, 1))
+
+        # --- causal conv over [sample ⊕ features] ---
+        inp = jnp.concatenate([z[:, :-1, None], h], axis=2)
+        conv = nn.Conv(
+            w0, kernel_size=(self.kernel_len,), padding="VALID", name="conv_in"
+        )(inp)
+
+        # --- theta embedding: 3 linear layers, broadcast-added (AR.py:63-70) ---
+        t = nn.Dense(w0, name="theta_0")(theta)
+        t = nn.Dense(w0, name="theta_1")(t)
+        t = nn.Dense(w0, name="theta_2")(t)
+        h = nn.elu(conv + t[:, None, :])
+
+        # --- 1x1-conv (per-step MLP) tower ---
+        for i, width in enumerate(self.network_dims[1:-1]):
+            h = nn.elu(nn.Dense(width, name=f"tower_{i}")(h))
+            if self.use_norm:
+                h = ScaleOffset(name=f"norm_{i}")(h)
+
+        if self.flow_dims == 1:
+            out = nn.Dense(2, name="out")(h)  # (p, L-K, 2)
+            mu = out[:, :, 0]
+            sigma = jax.nn.softplus(out[:, :, 1]) + self.sigma_eps
+        else:
+            # stride-2 output conv == dense on even positions (lotka_volterra_partial.py:97)
+            out = nn.Dense(2, name="out")(h[:, ::2, :])  # (p, M, 2)
+            mu_t, sigma_t = out[:, :, 0], out[:, :, 1]
+            if self.mu_softplus:
+                id_mu = jnp.ones_like(mu_t)  # ..._learn_theta.py:161
+                mu_t = jax.nn.softplus(mu_t) + self.sigma_eps
+            else:
+                id_mu = jnp.zeros_like(mu_t)  # lotka_volterra_partial.py:100
+            sigma_t = jax.nn.softplus(sigma_t) + self.sigma_eps
+            # re-interleave [identity, transformed] pairs -> full length
+            mu = jnp.stack([id_mu, mu_t], axis=2).reshape(p, -1)
+            sigma = jnp.stack([jnp.ones_like(sigma_t), sigma_t], axis=2).reshape(p, -1)
+
+        x = z[:, self.kernel_len:] * sigma + mu
+        return x, jnp.log(sigma)
+
+
+class NMAFlowStack(nn.Module):
+    """Base windowed normal + ``no_flows`` ConvIAF flows (+ pairwise permutes in 2-D).
+
+    Mirrors ``Flow_Stack`` (``AR.py:92-110``): flow i consumes the previous
+    flow's sample; 1-D flows see progressively truncated feature windows
+    ``ts_feats[:, i*kernel_len:, :]`` (``AR.py:190-193``), 2-D flows see the
+    full window through their transposed projection.
+
+    ``__call__(z, ts_feats, theta)`` takes base noise z of shape
+    (p, kernel_ext) and returns ``(x, log_q)`` with x of shape
+    (p, flow_dims * batch_dims + flow_dims) and log_q of shape (p,).
+    """
+
+    network_dims: Tuple[int, ...]
+    kernel_len: int
+    no_flows: int
+    batch_dims: int
+    flow_dims: int = 1
+    use_norm: bool = False
+    mu_softplus: bool = False
+    sigma_eps: float = 1e-10
+
+    @nn.compact
+    def __call__(self, z, ts_feats, theta):
+        window = self.flow_dims * self.batch_dims
+        kernel_ext = z.shape[1]
+        # windowed base log-prob (AR.py:31-35)
+        log_q = jnp.sum(normal_logpdf(z, 0.0, 1.0)[:, -window:], axis=1)
+        x = z
+        for i in range(self.no_flows):
+            if self.flow_dims == 1:
+                feats = ts_feats[:, i * self.kernel_len :, :]
+                feat_dims = 0
+            else:
+                feats = ts_feats
+                # conv input length of flow i, minus one (lotka_volterra_partial.py:281)
+                feat_dims = kernel_ext - 1 - i * self.kernel_len
+            x, log_sigma = ConvIAF(
+                network_dims=self.network_dims,
+                kernel_len=self.kernel_len,
+                flow_dims=self.flow_dims,
+                feat_dims=feat_dims,
+                use_norm=self.use_norm,
+                mu_softplus=self.mu_softplus,
+                sigma_eps=self.sigma_eps,
+                name=f"flow_{i}",
+            )(x, feats, theta)
+            log_q = log_q - jnp.sum(log_sigma[:, -window:], axis=1)
+            if self.flow_dims == 2 and i < self.no_flows - 1:
+                x = pairwise_swap(x)  # species alternation between flows
+        return x, log_q
