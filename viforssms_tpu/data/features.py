@@ -1,0 +1,203 @@
+"""Window/feature pipeline: precomputed padded tables + on-device gathers.
+
+The reference assembles every minibatch on the host with dozens of per-index
+NumPy concatenations per step (``AR.py:262-288`` — its second hot loop,
+SURVEY.md §3.5). Here the padded feature tables are built ONCE (host NumPy,
+below) and live in device HBM; per step a jitted ``vmap`` of
+``lax.dynamic_slice`` gathers the p windows — static shapes, no host work,
+fully inside the compiled train step.
+
+Table layouts mirror the reference exactly so feature semantics (and hence
+posterior parity) carry over:
+  * 1-D AR:  ``AR.py:135-150``   — channels [obs lags x fw, context flag,
+    time, time-till, obs indicator]
+  * 2-D LV/FHN: ``lotka_volterra_partial.py:188-204`` — interleaved (u,v)
+    layout, channels [obs lags x fw (stride-5 shifts), context flag, time,
+    time-till]; obs indicator fed separately as ``bin_feed``
+  * SV: ``SV_dense.py:159-184`` — channels [obs lags x fw, time, rolling
+    variance, log rolling variance-of-diffs]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class WindowTables(NamedTuple):
+    """Device-resident padded tables (a pytree of arrays)."""
+
+    feat: jax.Array                 # (L, F)
+    mask: jax.Array                 # (d, W_total + 1)
+    shift: jax.Array                # (d, W_total + 1)
+    bin_feed: Optional[jax.Array]   # (d, W_total) obs indicator (2-D models)
+    dim_one: Optional[jax.Array]    # (W_total + 1,) raw observed dim (SV)
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowSpec:
+    """Static window geometry, hashable for jit closure."""
+
+    kernel_ext: int
+    batch_dims: int
+    flow_dims: int
+    target_dims: int  # number of latent steps (windows start at multiples of batch_dims)
+
+    @property
+    def num_windows(self) -> int:
+        return self.target_dims // self.batch_dims
+
+    def window_starts(self) -> np.ndarray:
+        return np.arange(0, self.target_dims, self.batch_dims, dtype=np.int32)
+
+
+class WindowBatch(NamedTuple):
+    feats: jax.Array     # (p, kernel_ext, F)
+    mask: jax.Array      # (p, d, batch_dims+1)
+    shift: jax.Array     # (p, d, batch_dims+1)
+    bin_feed: Optional[jax.Array]  # (p, d, batch_dims)
+    dim_one: Optional[jax.Array]   # (p, batch_dims+1)
+
+
+def gather_windows(tables: WindowTables, spec: WindowSpec, starts) -> WindowBatch:
+    """Gather p windows at latent-step ``starts`` (each a multiple of batch_dims)."""
+    ke, b, d = spec.kernel_ext, spec.batch_dims, spec.flow_dims
+    F = tables.feat.shape[1]
+
+    def one(s):
+        feats = jax.lax.dynamic_slice(tables.feat, (d * s, 0), (ke, F))
+        mask = jax.lax.dynamic_slice(tables.mask, (0, s), (tables.mask.shape[0], b + 1))
+        shift = jax.lax.dynamic_slice(tables.shift, (0, s), (tables.shift.shape[0], b + 1))
+        binf = (
+            jax.lax.dynamic_slice(tables.bin_feed, (0, s), (tables.bin_feed.shape[0], b))
+            if tables.bin_feed is not None
+            else None
+        )
+        dim1 = (
+            jax.lax.dynamic_slice(tables.dim_one, (s,), (b + 1,))
+            if tables.dim_one is not None
+            else None
+        )
+        return feats, mask, shift, binf, dim1
+
+    feats, mask, shift, binf, dim1 = jax.vmap(one)(jnp.asarray(starts, jnp.int32))
+    return WindowBatch(feats, mask, shift, binf, dim1)
+
+
+def _pad_to(row: np.ndarray, L: int) -> np.ndarray:
+    assert len(row) <= L, (len(row), L)
+    return np.concatenate([row, np.zeros(L - len(row))])
+
+
+def ar1_tables(obs, obs_bin, time_till, kernel_len, no_flows, feat_window,
+               batch_dims, x0):
+    """1-D feature tables (AR.py:135-150)."""
+    obs = np.asarray(obs, np.float64)
+    T = len(obs)
+    pad = no_flows * kernel_len + 1
+    L = pad + T + 1
+    cols = []
+    for i in range(feat_window):
+        cols.append(_pad_to(np.concatenate([np.zeros(pad - i), obs, np.zeros(i)]), L))
+    cols.append(_pad_to(np.concatenate([np.ones(pad), np.zeros(T)]), L))       # context flag
+    cols.append(_pad_to(np.concatenate([np.zeros(pad), np.arange(T + 1)]), L))  # abs time
+    cols.append(_pad_to(np.concatenate(
+        [np.arange(pad + time_till[0], time_till[0], -1), time_till]), L))     # time-till
+    cols.append(_pad_to(np.concatenate([np.zeros(pad), obs_bin]), L))           # obs indicator
+    feat = np.stack(cols, axis=1).astype(np.float32)
+    mask = np.concatenate([np.zeros((1, 1)), np.ones((1, T))], axis=1).astype(np.float32)
+    shift = np.concatenate([np.array([[x0]]), np.zeros((1, T))], axis=1).astype(np.float32)
+    tables = WindowTables(
+        feat=jnp.asarray(feat), mask=jnp.asarray(mask), shift=jnp.asarray(shift),
+        bin_feed=None, dim_one=None,
+    )
+    spec = WindowSpec(
+        kernel_ext=no_flows * kernel_len + batch_dims + 1,
+        batch_dims=batch_dims, flow_dims=1, target_dims=T,
+    )
+    return tables, spec
+
+
+def lv_tables(obs2, obs_bin2, time_till2, kernel_len, no_flows, feat_window,
+              batch_dims, x0, dt, context_flag_in_pad=False, time_till_end=0.0):
+    """2-D interleaved tables (lotka_volterra_partial.py:188-204).
+
+    ``context_flag_in_pad=False`` gives LV's convention (flag marks the
+    target region); ``True`` gives FHN's inverted one (fitz_nag_NVP.py:197-198).
+    ``time_till_end`` is 0.0 for LV, -dt for FHN (fitz_nag_NVP.py:193-194).
+    """
+    obs2 = np.asarray(obs2, np.float64)
+    d, target = obs2.shape
+    assert d == 2
+    obs_flat = np.reshape(obs2, -1, "F")  # interleaved (u0,v0,u1,v1,...)
+    pad = no_flows * kernel_len + 2
+    L = pad + 2 * target
+    cols = []
+    for i in range(0, feat_window * 5, 5):  # stride-5 lag shifts
+        cols.append(_pad_to(np.concatenate([np.zeros(pad - i), obs_flat, np.zeros(i)]), L))
+    if context_flag_in_pad:
+        flag = np.concatenate([np.ones(pad), np.zeros(2 * target)])
+    else:
+        flag = np.concatenate([np.zeros(pad), np.ones(2 * target)])
+    cols.append(_pad_to(flag, L))
+    T_real = target * dt
+    cols.append(_pad_to(np.concatenate(
+        [np.zeros(pad), np.repeat(np.arange(dt, T_real + dt / 2, dt), 2)[: 2 * target]]), L))
+    # time-till: interleave the (2, .) padding block with the (2, target) data block
+    ttp = np.arange(np.round(pad * (dt / 2), 1), time_till_end, -dt)
+    ttp2 = np.tile(ttp, (2, 1))
+    tt_full = np.concatenate([ttp2, np.asarray(time_till2, np.float64)], axis=1)
+    cols.append(_pad_to(np.reshape(tt_full, -1, "F"), L))
+    feat = np.stack(cols, axis=1).astype(np.float32)
+    mask = np.concatenate([np.zeros((2, 1)), np.ones((2, target))], axis=1).astype(np.float32)
+    shift = np.concatenate(
+        [np.asarray(x0, np.float64)[:, None], np.zeros((2, target))], axis=1
+    ).astype(np.float32)
+    tables = WindowTables(
+        feat=jnp.asarray(feat), mask=jnp.asarray(mask), shift=jnp.asarray(shift),
+        bin_feed=jnp.asarray(np.asarray(obs_bin2, np.float32)), dim_one=None,
+    )
+    spec = WindowSpec(
+        kernel_ext=no_flows * kernel_len + 2 * batch_dims + 2,
+        batch_dims=batch_dims, flow_dims=2, target_dims=target,
+    )
+    return tables, spec
+
+
+def sv_tables(obs, kernel_len, no_flows, feat_window, batch_dims, x0, dt=1.0):
+    """SV tables with rolling variance channels (SV_dense.py:159-184)."""
+    obs = np.asarray(obs, np.float64)
+    n = len(obs)          # series length (target + 1)
+    target = n - 1
+    pad = no_flows * kernel_len
+    L = pad + n
+    cols = []
+    for i in range(0, feat_window * 5, 5):
+        cols.append(_pad_to(np.concatenate([np.zeros(pad - i), obs, np.zeros(i)]), L))
+    T_real = target * dt
+    cols.append(_pad_to(np.concatenate(
+        [np.zeros(pad + 1), np.arange(0.1, T_real + dt / 2, dt)[:target]]), L))
+    var_store = np.array([np.var(obs[i : i + kernel_len]) for i in range(n - kernel_len)])
+    cols.append(_pad_to(np.concatenate([np.zeros((no_flows + 1) * kernel_len), var_store]), L))
+    obs_diff = obs[1:] - obs[:-1]
+    vds = np.array(
+        [np.var(obs_diff[i : i + kernel_len]) for i in range(len(obs_diff) - kernel_len)]
+    )
+    cols.append(_pad_to(np.concatenate(
+        [np.zeros((no_flows + 1) * kernel_len), np.log(vds), np.zeros(1)]), L))
+    feat = np.stack(cols, axis=1).astype(np.float32)
+    mask = np.concatenate([np.zeros((1, 1)), np.ones((1, target))], axis=1).astype(np.float32)
+    shift = np.concatenate([np.array([[x0]]), np.zeros((1, target))], axis=1).astype(np.float32)
+    tables = WindowTables(
+        feat=jnp.asarray(feat), mask=jnp.asarray(mask), shift=jnp.asarray(shift),
+        bin_feed=None, dim_one=jnp.asarray(obs.astype(np.float32)),
+    )
+    spec = WindowSpec(
+        kernel_ext=no_flows * kernel_len + batch_dims + 1,
+        batch_dims=batch_dims, flow_dims=1, target_dims=target,
+    )
+    return tables, spec

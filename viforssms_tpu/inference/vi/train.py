@@ -1,0 +1,282 @@
+"""The VI training engine: one jitted train step + pre-train phase + loop.
+
+Replaces the reference's host-feed ``VI_SSM.train`` loop (``AR.py:240-310``)
+with a fully-compiled step: window sampling, feature gather, flow, ELBO,
+gradients, Adamax update, metrics — a single XLA program. The host loop only
+pumps steps and reads back metrics.
+
+Supports particle-axis data parallelism: pass ``mesh`` + ``particle_axis`` to
+shard the p particles across devices; gradients are averaged by XLA-inserted
+collectives (the ``mean`` over particles spans the sharded axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from viforssms_tpu.core.config import VIConfig
+from viforssms_tpu.data.features import WindowSpec, WindowTables
+from viforssms_tpu.flows.nma import NMAFlowStack
+from viforssms_tpu.inference.vi.adamax import adamax, clipped_adamax
+from viforssms_tpu.inference.vi.elbo import compute_elbo
+from viforssms_tpu.inference.vi.theta_flow import ThetaPosterior
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    pre_opt_state: Any
+    key: jax.Array
+    step: jax.Array
+
+
+class StepMetrics(NamedTuple):
+    elbo: jax.Array
+    sde_lp: jax.Array
+    obs_lp: jax.Array
+    path_lq: jax.Array
+    theta_lq: jax.Array
+    prior_lp: jax.Array
+    grad_norm: jax.Array
+
+
+@dataclasses.dataclass
+class VIEngine:
+    """Builds and runs the compiled VI program for one (model, config, data)."""
+
+    model: Any
+    cfg: VIConfig
+    tables: WindowTables
+    spec: WindowSpec
+    fix_theta_value: Optional[np.ndarray] = None
+    theta_base_loc: float = 0.0
+    theta_base_scale: float = 1.0
+    use_norm: bool = False
+    donate: bool = True
+    mesh: Any = None          # optional jax.sharding.Mesh for particle DP
+    particle_axis: str = "particles"
+
+    def __post_init__(self):
+        cfg = self.cfg
+        self.flow = NMAFlowStack(
+            network_dims=tuple(cfg.flow.network_dims),
+            kernel_len=cfg.flow.kernel_len,
+            no_flows=cfg.flow.no_flows,
+            batch_dims=cfg.batch_dims,
+            flow_dims=cfg.flow.flow_dims,
+            use_norm=self.use_norm,
+            mu_softplus=cfg.flow.mu_softplus,
+            sigma_eps=cfg.flow.sigma_eps,
+        )
+        self.theta_flow = ThetaPosterior(
+            dim=self.model.theta_dim,
+            num_bijectors=cfg.theta_num_bijectors,
+            hidden=tuple(cfg.theta_hidden),
+            softplus=cfg.theta_softplus,
+            base_loc=self.theta_base_loc,
+            base_scale=self.theta_base_scale,
+        )
+        self.opt = clipped_adamax(
+            learning_rate=cfg.train.learn_rate,
+            beta1=cfg.train.beta1,
+            beta2=cfg.train.beta2,
+            grad_clip=cfg.train.grad_clip,
+        )
+        # separate optimizer instance for pre-training (AR.py:201-202)
+        self.pre_opt = adamax(
+            learning_rate=cfg.train.pre_train_lr, beta1=cfg.train.pre_train_beta1
+        )
+        # with-replacement iff windows don't cover p draws (AR.py:257-260)
+        self.replace = cfg.batch_dims * cfg.p >= self.spec.target_dims
+        self._build_steps()
+
+    # ---- parameter init ----
+    def init(self, key) -> TrainState:
+        cfg = self.cfg
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        z = jnp.zeros((cfg.p, self.spec.kernel_ext))
+        feats = jnp.zeros((cfg.p, self.spec.kernel_ext, self.tables.feat.shape[1]))
+        theta0 = jnp.zeros((cfg.p, self.model.theta_dim))
+        flow_params = self.flow.init(k1, z, feats, theta0)
+        theta_params = self.theta_flow.init(k2, k3, cfg.p)
+        params = {"flow": flow_params, "theta": theta_params}
+        return TrainState(
+            params=params,
+            opt_state=self.opt.init(params),
+            pre_opt_state=self.pre_opt.init(params),
+            key=k4,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ---- core losses ----
+    def _terms(self, params, key, starts):
+        def flow_apply(z, feats, theta):
+            return self.flow.apply(params["flow"], z, feats, theta)
+
+        def theta_sample(k):
+            return self.theta_flow.apply(
+                params["theta"], k, self.cfg.p, method=ThetaPosterior.sample_and_log_prob
+            )
+
+        return compute_elbo(
+            self.model, flow_apply, theta_sample, key, self.tables, self.spec,
+            starts, self.cfg.elbo_scale, fix_theta_value=self.fix_theta_value,
+        )
+
+    def _sample_starts(self, key):
+        n = self.spec.num_windows
+        idx = jax.random.choice(
+            key, n, shape=(self.cfg.p,), replace=self.replace
+        )
+        return idx.astype(jnp.int32) * self.cfg.batch_dims
+
+    def _loss(self, params, key, starts):
+        t = self._terms(params, key, starts)
+        elbo = t.elbo
+        if self.cfg.train.nan_mask_loss:  # ..._learn_theta.py:482
+            elbo = jnp.where(jnp.isnan(elbo), jnp.zeros_like(elbo), elbo)
+        loss = -jnp.mean(elbo)
+        metrics_scale = self.cfg.elbo_scale
+        metrics = StepMetrics(
+            elbo=-loss,
+            sde_lp=metrics_scale * jnp.mean(t.sde_lp),
+            obs_lp=metrics_scale * jnp.mean(t.obs_lp),
+            path_lq=metrics_scale * jnp.mean(t.path_lq),
+            theta_lq=jnp.mean(t.theta_lq),
+            prior_lp=jnp.mean(t.prior_lp),
+            grad_norm=jnp.zeros(()),
+        )
+        return loss, metrics
+
+    def _pre_loss(self, params, key, starts):
+        from viforssms_tpu.data.features import gather_windows
+        from viforssms_tpu.inference.vi.elbo import assemble_path, obs_from_features
+
+        t = self._terms(params, key, starts)
+        batch = gather_windows(self.tables, self.spec, starts)
+        y, obs_mask = obs_from_features(self.model, batch, self.spec)
+        return self.model.pretrain_loss(t.x, t.theta, y, obs_mask), t
+
+    # ---- jitted steps ----
+    def _build_steps(self):
+        donate = (0,) if self.donate else ()
+
+        def train_step(state: TrainState):
+            key, k_starts, k_elbo = jax.random.split(state.key, 3)
+            starts = self._sample_starts(k_starts)
+            (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                state.params, k_elbo, starts
+            )
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = self.opt.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = metrics._replace(grad_norm=gnorm)
+            return (
+                TrainState(params, opt_state, state.pre_opt_state, key, state.step + 1),
+                metrics,
+            )
+
+        def pretrain_step(state: TrainState):
+            key, k_starts, k_elbo = jax.random.split(state.key, 3)
+            starts = self._sample_starts(k_starts)
+            (loss, t), grads = jax.value_and_grad(self._pre_loss, has_aux=True)(
+                state.params, k_elbo, starts
+            )
+            updates, pre_opt_state = self.pre_opt.update(
+                grads, state.pre_opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            # finite-path gate signal (lotka_volterra_partial.py:388-400)
+            finite = jnp.all(jnp.isfinite(t.path_lq))
+            return (
+                TrainState(params, state.opt_state, pre_opt_state, key, state.step + 1),
+                loss,
+                finite,
+            )
+
+        self.train_step = jax.jit(train_step, donate_argnums=donate)
+        self.pretrain_step = jax.jit(pretrain_step, donate_argnums=donate)
+        self.eval_terms = jax.jit(
+            lambda params, key, starts: self._terms(params, key, starts)
+        )
+
+    # ---- loops ----
+    def pretrain(self, state: TrainState, num_steps: Optional[int] = None,
+                 finite_gate: Optional[int] = None, log_every: int = 0,
+                 logger=None):
+        """Fixed-step pre-train (AR.py:290-298) or consecutive-finite gate
+        (lotka_volterra_partial.py:388-400)."""
+        num_steps = num_steps if num_steps is not None else self.cfg.train.pre_train_steps
+        consec = 0
+        i = 0
+        while True:
+            state, loss, finite = self.pretrain_step(state)
+            i += 1
+            if logger is not None and log_every and i % log_every == 0:
+                logger.write(int(state.step), {"pretrain_loss": float(loss)})
+            if finite_gate is not None:
+                consec = consec + 1 if bool(finite) else 0
+                if consec >= finite_gate or i >= 20 * finite_gate:
+                    break
+            elif i >= num_steps:
+                break
+        return state
+
+    def fit(self, state: TrainState, num_steps: int, logger=None, log_every: int = 50,
+            checkpointer=None):
+        last = None
+        for i in range(num_steps):
+            state, metrics = self.train_step(state)
+            last = metrics
+            if logger is not None and (i % log_every == 0 or i == num_steps - 1):
+                logger.write(int(state.step), metrics_to_dict(metrics))
+            if checkpointer is not None and self.cfg.train.checkpoint_every and (
+                (i + 1) % self.cfg.train.checkpoint_every == 0
+            ):
+                checkpointer.save(state)
+        return state, last
+
+    # ---- inference/export ----
+    def sample_posterior_paths(self, params, key):
+        """Stitch full-length posterior paths window by window (AR.py:323-362)."""
+        outs = []
+        for s in self.spec.window_starts():
+            key, sub = jax.random.split(key)
+            starts = jnp.full((self.cfg.p,), int(s), jnp.int32)
+            t = self.eval_terms(params, sub, starts)
+            x = t.x
+            outs.append(np.asarray(x[..., 1:]))
+        return np.concatenate(outs, axis=-1)
+
+    def sample_theta(self, params, key, n):
+        """Draw n theta samples from q(theta) (SV_dense.py:458-459)."""
+        chunks = []
+        remaining = n
+        while remaining > 0:
+            key, sub = jax.random.split(key)
+            m = min(remaining, 8192)
+            th, _ = self.theta_flow.apply(
+                params["theta"], sub, m, method=ThetaPosterior.sample_and_log_prob
+            )
+            chunks.append(np.asarray(th))
+            remaining -= m
+        return np.concatenate(chunks, axis=0)
+
+
+def metrics_to_dict(m: StepMetrics) -> dict:
+    """Metric names mirror the reference's TensorBoard scalars (AR.py:206-215)."""
+    return {
+        "ELBO": float(m.elbo),
+        "SDE_log_prob": float(m.sde_lp),
+        "obs_log_prob": float(m.obs_lp),
+        "path_log_prob": float(m.path_lq),
+        "theta_log_prob": float(m.theta_lq),
+        "prior_log_prob": float(m.prior_lp),
+        "global_norm": float(m.grad_norm),
+    }

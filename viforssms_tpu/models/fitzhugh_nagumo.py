@@ -1,0 +1,60 @@
+"""FitzHugh-Nagumo SDE model (``fitz_nag_NVP.py``).
+
+Drift:     ( exp(t0) * (x1 - x1^3 - x2 + t1),  t2*x1 - x2 + 1.4 )
+Diffusion: diagonal, scale ( sqrt(exp(t3)), sqrt(exp(t4)) )      (fitz_nag_NVP.py:243-255)
+Obs:       y ~ N(x, 0.1) on observed steps                        (fitz_nag_NVP.py:233-234)
+Paths are unconstrained (no positivity transform; the flow output is used
+directly, ``fitz_nag_NVP.py:281-283``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from viforssms_tpu.distributions.bivariate import diag_normal_logpdf
+from viforssms_tpu.distributions.normal import normal_logpdf
+from viforssms_tpu.models.base import SSM
+
+
+@dataclasses.dataclass(frozen=True)
+class FitzHughNagumo(SSM):
+    dt: float = 0.1
+    obs_std: float = 0.1
+    prior_mean: Tuple[float, ...] = (0.0,) * 5
+    prior_scale: Tuple[float, ...] = (10.0,) * 5
+    pretrain_target: float = 0.0
+
+    flow_dims = 2
+    theta_dim = 5
+    uses_mask_shift = False
+
+    def transition_log_prob(self, x, theta, x_raw=None):
+        del x_raw
+        t0, t1, t2 = theta[:, 0:1], theta[:, 1:2], theta[:, 2:3]
+        t3, t4 = theta[:, 3:4], theta[:, 4:5]
+        x1, x2 = x[:, 0, :-1], x[:, 1, :-1]
+        d1, d2 = x[:, 0, 1:] - x1, x[:, 1, 1:] - x2
+        a1 = jnp.exp(t0) * (x1 - x1**3 - x2 + t1)
+        a2 = t2 * x1 - x2 + 1.4
+        sdt = jnp.sqrt(self.dt)
+        s1 = sdt * jnp.sqrt(jnp.exp(t3)) * jnp.ones_like(x1)
+        s2 = sdt * jnp.sqrt(jnp.exp(t4)) * jnp.ones_like(x2)
+        lp = diag_normal_logpdf(d1, d2, self.dt * a1, self.dt * a2, s1, s2)
+        return jnp.sum(lp, axis=1)
+
+    def observation_log_prob(self, x, y, obs_mask, theta):
+        del theta
+        lp = normal_logpdf(y, x[:, :, 1:], self.obs_std) * obs_mask
+        return jnp.sum(lp.reshape(lp.shape[0], -1), axis=1)
+
+    def log_prior(self, theta):
+        mean = jnp.asarray(self.prior_mean, theta.dtype)
+        scale = jnp.asarray(self.prior_scale, theta.dtype)
+        return jnp.sum(normal_logpdf(theta, mean, scale), axis=-1)
+
+    def pretrain_loss(self, x, theta, y, obs_mask):
+        del theta, y, obs_mask
+        return jnp.mean((x - self.pretrain_target) ** 2)

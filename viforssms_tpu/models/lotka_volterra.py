@@ -1,0 +1,186 @@
+"""Lotka-Volterra stochastic-kinetic SDE models.
+
+Two variants, matching the two generations in the reference:
+
+* :class:`LotkaVolterra` — the original fixed-data, log-theta model
+  (``lotka_volterra_partial.py``): rates are ``exp(theta)``, paths are made
+  positive by a plain Softplus, observations are ``N(x, 1)`` on observed steps.
+
+* :class:`LotkaVolterraLearnTheta` — the terminal batched variant
+  (``lotka_volterra_latest_batch_gpt_64_mu1_cov_learn_theta.py``): theta is
+  positive (softplus'd posterior), paths go through ``softplus(.)+1``, the SDE
+  density is evaluated in pre-transform space with the bijector's inverse
+  log-det (``..._learn_theta.py:399-409``), observations have multiplicative
+  noise through a ``1+softplus(x-1)`` transform (``..._learn_theta.py:355-361``),
+  and the window's first column carries an x0 prior (``..._learn_theta.py:413-425``).
+
+Euler-Maruyama transition: dx ~ N(dt * alpha(x), dt * beta(x)) with
+  alpha = (t0*x1 - t1*x1*x2,  t1*x1*x2 - t2*x2)
+  beta  = [[t0*x1 + t1*x1*x2, -t1*x1*x2], [-t1*x1*x2, t1*x1*x2 + t2*x2]]
+whose Cholesky factor is built analytically (``lotka_volterra_partial.py:244-257``)
+and evaluated by closed-form back-substitution (``distributions/bivariate.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from viforssms_tpu.distributions.bijectors import Chain, Affine, Softplus, sum_event
+from viforssms_tpu.distributions.bivariate import bivariate_tril_logpdf
+from viforssms_tpu.distributions.normal import normal_logpdf
+from viforssms_tpu.models.base import SSM
+
+
+def lv_drift(x1, x2, t0, t1, t2):
+    return t0 * x1 - t1 * x1 * x2, t1 * x1 * x2 - t2 * x2
+
+
+def lv_chol(x1, x2, t0, t1, t2):
+    """Analytic Cholesky of the LV reaction covariance (lotka_volterra_partial.py:249-257)."""
+    cross = t1 * x1 * x2
+    a = jnp.sqrt(t0 * x1 + cross)
+    b = -cross / a
+    c = jnp.sqrt(cross + t2 * x2 - b * b)
+    return a, b, c
+
+
+@dataclasses.dataclass(frozen=True)
+class LotkaVolterra(SSM):
+    """Original fixed-data LV, theta in log space."""
+
+    dt: float = 0.1
+    obs_scale: float = 1.0
+    prior_mean: Tuple[float, ...] = (-0.8147, -5.843, -1.2185)  # log(rates/10), lotka_volterra_partial.py:476
+    prior_scale: Tuple[float, ...] = (1e-4, 1e-4, 1e-4)
+    jitter: float = 0.0
+    pretrain_target: float = 75.0
+
+    flow_dims = 2
+    theta_dim = 3
+    uses_mask_shift = True
+
+    def _rates(self, theta):
+        r = jnp.exp(theta)  # theta_eval applies exp (lotka_volterra_partial.py:231)
+        return r[:, 0:1], r[:, 1:2], r[:, 2:3]
+
+    def transition_log_prob(self, x, theta, x_raw=None):
+        del x_raw
+        t0, t1, t2 = self._rates(theta)
+        x1, x2 = x[:, 0, :-1], x[:, 1, :-1]
+        d1, d2 = x[:, 0, 1:] - x1, x[:, 1, 1:] - x2
+        a1, a2 = lv_drift(x1, x2, t0, t1, t2)
+        ca, cb, cc = lv_chol(x1, x2, t0, t1, t2)
+        sdt = jnp.sqrt(self.dt)
+        lp = bivariate_tril_logpdf(
+            d1, d2, self.dt * a1, self.dt * a2, sdt * ca, sdt * cb, sdt * cc,
+            jitter=self.jitter,
+        )
+        return jnp.sum(lp, axis=1)
+
+    def observation_log_prob(self, x, y, obs_mask, theta):
+        del theta
+        # y, obs_mask: (p, 2, W); N(x, obs_scale) on observed steps
+        lp = normal_logpdf(y, x[:, :, 1:], self.obs_scale) * obs_mask
+        return jnp.sum(lp.reshape(lp.shape[0], -1), axis=1)
+
+    def log_prior(self, theta):
+        mean = jnp.asarray(self.prior_mean, theta.dtype)
+        scale = jnp.asarray(self.prior_scale, theta.dtype)
+        return jnp.sum(normal_logpdf(theta, mean, scale), axis=-1)
+
+    def transform_path(self, x_raw, mask, shift):
+        # softplus positivity + pin first column to x0 (lotka_volterra_partial.py:292-297)
+        sp = Softplus()
+        x = sp.forward(x_raw) * mask + shift
+        # reference computes the ILDJ on the transformed sample's window
+        log_det = sum_event(sp.inverse_log_det(x[:, :, 1:]), 2)
+        return x, log_det
+
+    def pretrain_loss(self, x, theta, y, obs_mask):
+        del theta, y, obs_mask
+        return jnp.mean((x - self.pretrain_target) ** 2)
+
+
+# the positive-path transform f(u) = softplus(u - 1) + 1 (..._learn_theta.py:405-408)
+_SDE_CHAIN = Chain((Affine(shift=1.0), Softplus(), Affine(shift=-1.0)))
+
+
+@dataclasses.dataclass(frozen=True)
+class LotkaVolterraLearnTheta(SSM):
+    """Terminal batched learn-theta LV (positive theta, transformed densities)."""
+
+    dt: float = 0.2
+    obs_noise_factor: float = 0.2  # y_scale = 0.2 * x (..._learn_theta.py:358)
+    prior_mean: Tuple[float, ...] = (0.31326169, 0.00247875, 0.31326169)  # softplus([-1,-6,-1])
+    prior_sigma: Tuple[float, ...] = (0.31622777, 0.31622777, 0.31622777)  # sqrt(0.1)
+    x0_mean: Tuple[float, float] = (91.0, 99.0)
+    x0_std: Tuple[float, float] = (1.0, 1.0)
+    jitter: float = 1e-3  # chol diagonal jitter (..._learn_theta.py:52-53)
+    pretrain_target: float = 75.0
+
+    flow_dims = 2
+    theta_dim = 3
+    uses_mask_shift = True
+
+    def transition_log_prob(self, x, theta, x_raw=None):
+        # Density of x_{t+1} evaluated in pre-transform space u = f^{-1}(x) with
+        # the chain's inverse log-det (..._learn_theta.py:399-409). The window's
+        # first column (x0) is excluded — it gets its own prior below.
+        t0, t1, t2 = theta[:, 0:1], theta[:, 1:2], theta[:, 2:3]
+        head1, head2 = x[:, 0, 1:-1], x[:, 1, 1:-1]
+        tail1, tail2 = x[:, 0, 2:], x[:, 1, 2:]
+        a1, a2 = lv_drift(head1, head2, t0, t1, t2)
+        mu1 = head1 + self.dt * a1
+        mu2 = head2 + self.dt * a2
+        ca, cb, cc = lv_chol(head1, head2, t0, t1, t2)
+        sdt = jnp.sqrt(self.dt)
+        u1 = _SDE_CHAIN.inverse(tail1)
+        u2 = _SDE_CHAIN.inverse(tail2)
+        lp = bivariate_tril_logpdf(
+            u1, u2, mu1, mu2, sdt * ca, sdt * cb, sdt * cc, jitter=self.jitter
+        )
+        ildj = _SDE_CHAIN.inverse_log_det(tail1) + _SDE_CHAIN.inverse_log_det(tail2)
+        sde = jnp.sum(lp + ildj, axis=1)
+        return sde + self.x0_log_prob(x)
+
+    def x0_log_prob(self, x):
+        # p(x0) = TransformedDistribution(MVNDiag(x0_mean, x0_std), chain) (..._learn_theta.py:413-425)
+        x0 = x[:, :, 1]  # (p, 2)
+        mean = jnp.asarray(self.x0_mean, x.dtype)
+        std = jnp.asarray(self.x0_std, x.dtype)
+        u = _SDE_CHAIN.inverse(x0)
+        ildj = jnp.sum(_SDE_CHAIN.inverse_log_det(x0), axis=-1)
+        return jnp.sum(normal_logpdf(u, mean, std), axis=-1) + ildj
+
+    def observation_log_prob(self, x, y, obs_mask, theta):
+        del theta
+        loc = x[:, :, 1:]
+        scale = self.obs_noise_factor * loc
+        u = _SDE_CHAIN.inverse(y)
+        lp = normal_logpdf(u, loc, scale) + _SDE_CHAIN.inverse_log_det(y)
+        lp = lp * obs_mask
+        return jnp.sum(lp.reshape(lp.shape[0], -1), axis=1)
+
+    def log_prior(self, theta):
+        # Softplus-transformed MVNDiag (..._learn_theta.py:430-437)
+        sp = Softplus()
+        u = sp.inverse(theta)
+        mean = jnp.asarray(self.prior_mean, theta.dtype)
+        sigma = jnp.asarray(self.prior_sigma, theta.dtype)
+        ildj = jnp.sum(sp.inverse_log_det(theta), axis=-1)
+        return jnp.sum(normal_logpdf(u, mean, sigma), axis=-1) + ildj
+
+    def transform_path(self, x_raw, mask, shift):
+        # x = (softplus(raw) + 1) * mask + shift + 1e-6 (..._learn_theta.py:465-478)
+        x = (jnp.logaddexp(x_raw, 0.0) + 1.0) * mask + shift + 1e-6
+        # ILDJ of v -> softplus^{-1}(v - 1) on the window (..._learn_theta.py:479)
+        v = x[:, :, 1:] - 1.0
+        log_det = sum_event(-jnp.log(-jnp.expm1(-v)), 2)
+        return x, log_det
+
+    def pretrain_loss(self, x, theta, y, obs_mask):
+        del theta, y, obs_mask
+        return jnp.mean((x - self.pretrain_target) ** 2)
