@@ -1,0 +1,76 @@
+"""SV and FHN end-to-end smoke tests (remaining model families)."""
+
+import jax
+import numpy as np
+import pytest
+
+from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
+from viforssms_tpu.data.features import lv_tables, sv_tables
+from viforssms_tpu.data.generate import partial_observe_2d, simulate_fhn
+from viforssms_tpu.inference.vi.train import VIEngine
+from viforssms_tpu.models.fitzhugh_nagumo import FitzHughNagumo
+from viforssms_tpu.models.stochastic_volatility import StochasticVolatility
+
+
+def _simulate_sv(n=160, seed=0, theta=(0.001, -0.6, np.log(0.08), np.log(0.5))):
+    rng = np.random.RandomState(seed)
+    t0, t1, t2, t3 = theta
+    x1 = np.zeros(n + 1)
+    x2 = np.zeros(n + 1)
+    x1[0], x2[0] = 1.0, -8.5
+    for t in range(n):
+        x1[t + 1] = x1[t] + t0 * x1[t] + x1[t] * np.exp(0.5 * x2[t]) * rng.normal()
+        x2[t + 1] = x2[t] + (t1 - np.exp(t2) * x2[t]) + np.exp(t3) * rng.normal()
+    return x1.astype(np.float32)
+
+
+@pytest.mark.slow
+def test_sv_trains_finite():
+    obs = _simulate_sv()
+    target = len(obs) - 1
+    cfg = VIConfig(
+        p=8, batch_dims=20, T=target,
+        flow=FlowConfig(kernel_len=10, no_flows=3, network_dims=(16, 16, 16), feat_window=3),
+        train=TrainConfig(learn_rate=1e-3, grad_clip=1e7),
+        theta_num_bijectors=3,
+    )
+    tables, spec = sv_tables(obs, 10, 3, 3, 20, x0=-8.5)
+    eng = VIEngine(model=StochasticVolatility(dt=1.0), cfg=cfg, tables=tables,
+                   spec=spec, use_norm=True)
+    state = eng.init(jax.random.key(0))
+    state = eng.pretrain(state, num_steps=30)
+    state, m = eng.fit(state, num_steps=80)
+    assert np.isfinite(float(m.elbo)), float(m.elbo)
+    paths = eng.sample_posterior_paths(state.params, jax.random.key(1))
+    assert paths.shape == (8, 2, target)
+    # dim 1 is the observed series itself (SV_dense.py:245-246)
+    np.testing.assert_allclose(paths[0, 0], obs[1:], rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_fhn_trains_finite():
+    theta_true = (np.log(2.0), 1.0, 1.5, np.log(0.5), np.log(0.3))
+    x = simulate_fhn(theta_true, x0=(-1.0, 1.0), dt=0.1, T=6.0, seed=2)
+    target = x.shape[1] - 1  # 60
+    obs, obs_bin, time_till = partial_observe_2d(x, every=6, obs_std=0.1, seed=3)
+    cfg = VIConfig(
+        p=8, batch_dims=15, T=target,
+        flow=FlowConfig(kernel_len=4, no_flows=3, network_dims=(16, 16, 16),
+                        feat_window=3, flow_dims=2),
+        train=TrainConfig(learn_rate=1e-3, grad_clip=1e8),
+        theta_num_bijectors=3,
+    )
+    tables, spec = lv_tables(
+        obs, obs_bin, time_till * 0.1, 4, 3, 3, 15, x0=(-1.0, 1.0), dt=0.1,
+        context_flag_in_pad=True, time_till_end=-0.1,
+    )
+    eng = VIEngine(model=FitzHughNagumo(dt=0.1), cfg=cfg, tables=tables, spec=spec,
+                   use_norm=True)
+    state = eng.init(jax.random.key(4))
+    state = eng.pretrain(state, num_steps=30)
+    state, m0 = eng.fit(state, num_steps=1)
+    state, m1 = eng.fit(state, num_steps=80)
+    assert np.isfinite(float(m1.elbo))
+    assert float(m1.elbo) > float(m0.elbo)
+    th = eng.sample_theta(state.params, jax.random.key(5), 64)
+    assert th.shape == (64, 5) and np.all(np.isfinite(th))

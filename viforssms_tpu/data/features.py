@@ -135,7 +135,10 @@ def lv_tables(obs2, obs_bin2, time_till2, kernel_len, no_flows, feat_window,
     assert d == 2
     obs_flat = np.reshape(obs2, -1, "F")  # interleaved (u0,v0,u1,v1,...)
     pad = no_flows * kernel_len + 2
-    L = pad + 2 * target
+    # FHN's time-till padding block has one extra interleaved pair (its
+    # ``-dt`` arange endpoint, fitz_nag_NVP.py:193-194) — size the table to
+    # the longest row; gathers never read past the reference slice extents.
+    L = pad + 2 * target + (2 if time_till_end < 0.0 else 0)
     cols = []
     for i in range(0, feat_window * 5, 5):  # stride-5 lag shifts
         cols.append(_pad_to(np.concatenate([np.zeros(pad - i), obs_flat, np.zeros(i)]), L))

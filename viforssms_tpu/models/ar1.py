@@ -41,7 +41,8 @@ class AR1(SSM):
     def observation_log_prob(self, x, y, obs_mask, theta):
         # y, obs_mask: (p, W); mask picks the observed steps (AR.py:169-170)
         del theta
-        return jnp.sum(normal_logpdf(y, x[:, 1:], self.obs_std) * obs_mask, axis=1)
+        lp = jnp.where(obs_mask > 0, normal_logpdf(y, x[:, 1:], self.obs_std), 0.0)
+        return jnp.sum(lp, axis=1)
 
     def log_prior(self, theta):
         mean = jnp.asarray(self.prior_mean, theta.dtype)

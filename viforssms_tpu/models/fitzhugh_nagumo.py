@@ -47,7 +47,7 @@ class FitzHughNagumo(SSM):
 
     def observation_log_prob(self, x, y, obs_mask, theta):
         del theta
-        lp = normal_logpdf(y, x[:, :, 1:], self.obs_std) * obs_mask
+        lp = jnp.where(obs_mask > 0, normal_logpdf(y, x[:, :, 1:], self.obs_std), 0.0)
         return jnp.sum(lp.reshape(lp.shape[0], -1), axis=1)
 
     def log_prior(self, theta):

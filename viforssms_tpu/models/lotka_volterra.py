@@ -83,7 +83,7 @@ class LotkaVolterra(SSM):
     def observation_log_prob(self, x, y, obs_mask, theta):
         del theta
         # y, obs_mask: (p, 2, W); N(x, obs_scale) on observed steps
-        lp = normal_logpdf(y, x[:, :, 1:], self.obs_scale) * obs_mask
+        lp = jnp.where(obs_mask > 0, normal_logpdf(y, x[:, :, 1:], self.obs_scale), 0.0)
         return jnp.sum(lp.reshape(lp.shape[0], -1), axis=1)
 
     def log_prior(self, theta):
@@ -159,9 +159,13 @@ class LotkaVolterraLearnTheta(SSM):
         del theta
         loc = x[:, :, 1:]
         scale = self.obs_noise_factor * loc
-        u = _SDE_CHAIN.inverse(y)
-        lp = normal_logpdf(u, loc, scale) + _SDE_CHAIN.inverse_log_det(y)
-        lp = lp * obs_mask
+        # guard the inverse against unobserved fill values <= 1 (the reference
+        # instead replaces them with 2.0 host-side, ..._learn_theta.py:810-812);
+        # the where-select keeps both value and gradient NaN-free.
+        y_safe = jnp.where(obs_mask > 0, jnp.maximum(y, 1.0 + 1e-6), 2.0)
+        u = _SDE_CHAIN.inverse(y_safe)
+        lp = normal_logpdf(u, loc, scale) + _SDE_CHAIN.inverse_log_det(y_safe)
+        lp = jnp.where(obs_mask > 0, lp, 0.0)
         return jnp.sum(lp.reshape(lp.shape[0], -1), axis=1)
 
     def log_prior(self, theta):
