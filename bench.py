@@ -1,0 +1,66 @@
+"""Benchmark: ELBO gradient steps/s on the LV-partial reference configuration.
+
+Runs the FULL jitted training step (window sampling, feature gather, 2-D NMA
+flow, bivariate SDE ELBO, gradients, clipped Adamax) at the reference's
+LV-partial scale: p=50 particles, kernel_len=20, batch_dims=50, 500 latent
+steps, net [50]x5, 3 flows (``lotka_volterra_partial.py:467-477``).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md). We use a
+nominal 10 ELBO-grad steps/s for the TF-1.8 host-feed loop on a contemporary
+single accelerator — the per-step host NumPy feature assembly plus two
+host-device transfers bound it to O(10) steps/s — so vs_baseline = value / 10.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+NOMINAL_REFERENCE_STEPS_PER_SEC = 10.0
+
+
+def main():
+    import jax
+
+    # Remote TPU compiles are slow (~5 min for the full train step through the
+    # compile tunnel); persist executables so repeat runs start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _lv_engine
+
+    eng = _lv_engine(target=500, batch_dims=50, p=50, kernel_len=20, no_flows=3,
+                     net=(50,) * 5, feat_window=10)
+    state = eng.init(jax.random.key(0))
+
+    # compile + warmup
+    state, metrics = eng.train_step(state)
+    jax.block_until_ready(metrics.elbo)
+    for _ in range(5):
+        state, metrics = eng.train_step(state)
+    jax.block_until_ready(metrics.elbo)
+
+    n_steps = 100
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = eng.train_step(state)
+    jax.block_until_ready(metrics.elbo)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "lv_partial_elbo_grad_steps_per_sec_per_chip",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / NOMINAL_REFERENCE_STEPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,4 @@
+from viforssms_tpu.inference.mcmc.hmc import DualAveragingState, hmc_sample
+from viforssms_tpu.inference.mcmc.nuts import nuts_sample
+
+__all__ = ["DualAveragingState", "hmc_sample", "nuts_sample"]

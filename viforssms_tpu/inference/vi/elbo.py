@@ -78,6 +78,7 @@ def compute_elbo(
     starts,
     elbo_scale: float,
     fix_theta_value=None,
+    shard_fn=None,
 ) -> ELBOTerms:
     """One reparameterized ELBO evaluation for p particles at window ``starts``.
 
@@ -88,6 +89,10 @@ def compute_elbo(
     """
     k_theta, k_z = jax.random.split(key)
     batch = gather_windows(tables, spec, starts)
+    if shard_fn is not None:
+        # particle-axis DP: constrain per-particle tensors so XLA partitions
+        # the whole pipeline and reduces gradients with psum over the mesh
+        batch = WindowBatch(*shard_fn(tuple(batch)))
     p = batch.feats.shape[0]
 
     if fix_theta_value is not None:
@@ -99,6 +104,8 @@ def compute_elbo(
         prior_lp = model.log_prior(theta)
 
     z = jax.random.normal(k_z, (p, spec.kernel_ext))
+    if shard_fn is not None:
+        z, theta = shard_fn((z, theta))
     x_raw, path_lq = flow_apply(z, batch.feats, theta)
     x, lq_corr, raw = assemble_path(model, x_raw, batch)
     path_lq = path_lq + lq_corr

@@ -124,9 +124,15 @@ class VIEngine:
                 params["theta"], k, self.cfg.p, method=ThetaPosterior.sample_and_log_prob
             )
 
+        shard_fn = None
+        if self.mesh is not None:
+            from viforssms_tpu.parallel.mesh import shard_leading
+
+            shard_fn = lambda tree: shard_leading(self.mesh, tree, self.particle_axis)
         return compute_elbo(
             self.model, flow_apply, theta_sample, key, self.tables, self.spec,
             starts, self.cfg.elbo_scale, fix_theta_value=self.fix_theta_value,
+            shard_fn=shard_fn,
         )
 
     def _sample_starts(self, key):

@@ -38,12 +38,19 @@ def lv_drift(x1, x2, t0, t1, t2):
     return t0 * x1 - t1 * x1 * x2, t1 * x1 * x2 - t2 * x2
 
 
-def lv_chol(x1, x2, t0, t1, t2):
-    """Analytic Cholesky of the LV reaction covariance (lotka_volterra_partial.py:249-257)."""
+def lv_chol(x1, x2, t0, t1, t2, floor: float = 1e-10):
+    """Analytic Cholesky of the LV reaction covariance (lotka_volterra_partial.py:249-257).
+
+    The sqrt arguments are clamped at ``floor``: for degenerate states (x -> 0,
+    reachable from an untrained flow) the exact arguments hit 0, where sqrt has
+    an infinite gradient that poisons the whole backward pass — the failure
+    the reference fought with jitter/SVD/pseudo-inverse rewrites (SURVEY.md
+    §7.3 item 1). Clamping keeps value AND gradient finite.
+    """
     cross = t1 * x1 * x2
-    a = jnp.sqrt(t0 * x1 + cross)
+    a = jnp.sqrt(jnp.maximum(t0 * x1 + cross, floor))
     b = -cross / a
-    c = jnp.sqrt(cross + t2 * x2 - b * b)
+    c = jnp.sqrt(jnp.maximum(cross + t2 * x2 - b * b, floor))
     return a, b, c
 
 
@@ -95,8 +102,11 @@ class LotkaVolterra(SSM):
         # softplus positivity + pin first column to x0 (lotka_volterra_partial.py:292-297)
         sp = Softplus()
         x = sp.forward(x_raw) * mask + shift
-        # reference computes the ILDJ on the transformed sample's window
-        log_det = sum_event(sp.inverse_log_det(x[:, :, 1:]), 2)
+        # The reference evaluates the softplus ILDJ on the transformed window,
+        # which underflows to -inf in f32 once softplus(u) rounds to 0. The
+        # identical quantity from the pre-transform sample is
+        # -log sigmoid(u) = softplus(-u) — exact and underflow-proof.
+        log_det = sum_event(jnp.logaddexp(-x_raw[:, :, 1:], 0.0), 2)
         return x, log_det
 
     def pretrain_loss(self, x, theta, y, obs_mask):
