@@ -171,6 +171,60 @@ def lv_tables(obs2, obs_bin2, time_till2, kernel_len, no_flows, feat_window,
     return tables, spec
 
 
+def series_tables(obs2, obs_bin2, time_till2, num_series, kernel_len, no_flows,
+                  feat_window, x0, dt):
+    """Per-series 2-D tables for the batched learn-theta pipeline.
+
+    The terminal reference variant precomputes features for 1024 independent
+    series and streams them through ``tf.data`` in batches of p
+    (``..._learn_theta.py:256-314``); each "window" is a whole series
+    (batch_dims == series length). Here the per-series tables stack on a
+    leading series axis and ``gather_series`` picks a batch by index.
+
+    Note: the reference slices its globally-flattened observation array at
+    ``[2j : 2j + 2T]`` for series j (``..._learn_theta.py:264-266``), which
+    strides across series boundaries for every j > 0 — an indexing bug that
+    feeds misaligned feature windows. We slice each series' own block.
+    """
+    obs2 = np.asarray(obs2, np.float64)
+    d, total = obs2.shape
+    assert d == 2 and total % num_series == 0
+    target = total // num_series
+    per = []
+    for j in range(num_series):
+        sl = slice(j * target, (j + 1) * target)
+        t, s = lv_tables(
+            obs2[:, sl], obs_bin2[:, sl], time_till2[:, sl], kernel_len, no_flows,
+            feat_window, target, x0=x0, dt=dt,
+        )
+        per.append(t)
+    tables = WindowTables(
+        feat=jnp.stack([t.feat for t in per]),
+        mask=jnp.stack([t.mask for t in per]),
+        shift=jnp.stack([t.shift for t in per]),
+        bin_feed=jnp.stack([t.bin_feed for t in per]),
+        dim_one=None,
+    )
+    spec = WindowSpec(
+        kernel_ext=no_flows * kernel_len + 2 * target + 2,
+        batch_dims=target, flow_dims=2, target_dims=target,
+    )
+    return tables, spec
+
+
+def gather_series(tables: WindowTables, spec: WindowSpec, idx) -> WindowBatch:
+    """Pick p whole-series windows by series index (leading table axis)."""
+    take = lambda a: jnp.take(a, jnp.asarray(idx, jnp.int32), axis=0) if a is not None else None
+    feats = take(tables.feat)
+    return WindowBatch(
+        feats=feats,
+        mask=take(tables.mask),
+        shift=take(tables.shift),
+        bin_feed=take(tables.bin_feed),
+        dim_one=take(tables.dim_one),
+    )
+
+
 def sv_tables(obs, kernel_len, no_flows, feat_window, batch_dims, x0, dt=1.0):
     """SV tables with rolling variance channels (SV_dense.py:159-184)."""
     obs = np.asarray(obs, np.float64)

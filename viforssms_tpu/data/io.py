@@ -39,6 +39,40 @@ def load_series_2d(dat_dir: str, prefix: str, unobserved_fill=None):
     return obs, obs_bin, time_till
 
 
+def convert_pt_dataset(pt_path: str, out_dir: str, prefix: str = "LV", dt: float = 0.2):
+    """Convert a torch ``.pt`` dataset ``(theta, x, y, y_idx)`` into the txt
+    triplet layout — the semantics of ``save_obs_files.ipynb`` cell 2:
+    observations flattened to (2, N*T) with -1 at unobserved steps, binary
+    indicators, and time-till-next-observation in TIME units (* dt)."""
+    import torch  # cpu build available in the image
+
+    theta, x, y, y_idx = torch.load(pt_path, map_location="cpu", weights_only=False)
+    y = np.asarray(y)          # (N, T_obs, 2) observed values
+    y_idx = np.asarray(y_idx)  # (N, T_obs) observed step indices
+    n_series = y.shape[0]
+    T = int(np.asarray(x).shape[1]) - 1 if np.asarray(x).ndim >= 2 else int(y_idx.max()) + 1
+
+    obs = -np.ones((2, n_series * T), np.float32)
+    obs_bin = np.zeros((2, n_series * T), np.float32)
+    time_till = np.zeros((2, n_series * T), np.float32)
+    for j in range(n_series):
+        base = j * T
+        for k, t_idx in enumerate(np.asarray(y_idx[j], np.int64)):
+            if 0 <= t_idx < T:
+                obs[:, base + t_idx] = y[j, k]
+                obs_bin[:, base + t_idx] = 1.0
+        nxt = 0
+        for t in range(T - 1, -1, -1):
+            nxt = 0 if obs_bin[0, base + t] == 1.0 else nxt + 1
+            time_till[:, base + t] = nxt * dt
+    os.makedirs(out_dir, exist_ok=True)
+    np.savetxt(os.path.join(out_dir, f"{prefix}_obs_partial.txt"), obs)
+    np.savetxt(os.path.join(out_dir, f"{prefix}_obs_binary.txt"), obs_bin)
+    np.savetxt(os.path.join(out_dir, f"{prefix}_time_till.txt"), time_till)
+    np.savetxt(os.path.join(out_dir, f"{prefix}_theta.txt"), np.asarray(theta).reshape(n_series, -1))
+    return obs, obs_bin, time_till
+
+
 def save_paths_txt(path: str, paths: np.ndarray):
     """(p, ...) posterior paths -> one flattened row per particle (AR.py:360-362)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -79,6 +79,7 @@ def compute_elbo(
     elbo_scale: float,
     fix_theta_value=None,
     shard_fn=None,
+    gather_fn=None,
 ) -> ELBOTerms:
     """One reparameterized ELBO evaluation for p particles at window ``starts``.
 
@@ -88,7 +89,7 @@ def compute_elbo(
     (``lotka_volterra_latest.py:197-203``).
     """
     k_theta, k_z = jax.random.split(key)
-    batch = gather_windows(tables, spec, starts)
+    batch = (gather_fn or gather_windows)(tables, spec, starts)
     if shard_fn is not None:
         # particle-axis DP: constrain per-particle tensors so XLA partitions
         # the whole pipeline and reduces gradients with psum over the mesh

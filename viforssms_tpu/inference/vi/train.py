@@ -92,6 +92,10 @@ class VIEngine:
         self.pre_opt = adamax(
             learning_rate=cfg.train.pre_train_lr, beta1=cfg.train.pre_train_beta1
         )
+        # series mode: tables carry a leading series axis; "starts" are series
+        # indices and each window is a whole series (..._learn_theta.py:305-314)
+        self.series_mode = self.tables.feat.ndim == 3
+        self.num_series = int(self.tables.feat.shape[0]) if self.series_mode else 0
         # with-replacement iff windows don't cover p draws (AR.py:257-260)
         self.replace = cfg.batch_dims * cfg.p >= self.spec.target_dims
         self._build_steps()
@@ -101,7 +105,7 @@ class VIEngine:
         cfg = self.cfg
         k1, k2, k3, k4 = jax.random.split(key, 4)
         z = jnp.zeros((cfg.p, self.spec.kernel_ext))
-        feats = jnp.zeros((cfg.p, self.spec.kernel_ext, self.tables.feat.shape[1]))
+        feats = jnp.zeros((cfg.p, self.spec.kernel_ext, self.tables.feat.shape[-1]))
         theta0 = jnp.zeros((cfg.p, self.model.theta_dim))
         flow_params = self.flow.init(k1, z, feats, theta0)
         theta_params = self.theta_flow.init(k2, k3, cfg.p)
@@ -129,13 +133,21 @@ class VIEngine:
             from viforssms_tpu.parallel.mesh import shard_leading
 
             shard_fn = lambda tree: shard_leading(self.mesh, tree, self.particle_axis)
+        gather_fn = None
+        if self.series_mode:
+            from viforssms_tpu.data.features import gather_series
+
+            gather_fn = gather_series
         return compute_elbo(
             self.model, flow_apply, theta_sample, key, self.tables, self.spec,
             starts, self.cfg.elbo_scale, fix_theta_value=self.fix_theta_value,
-            shard_fn=shard_fn,
+            shard_fn=shard_fn, gather_fn=gather_fn,
         )
 
     def _sample_starts(self, key):
+        if self.series_mode:
+            n = self.num_series
+            return jax.random.choice(key, n, shape=(self.cfg.p,), replace=n < self.cfg.p)
         n = self.spec.num_windows
         idx = jax.random.choice(
             key, n, shape=(self.cfg.p,), replace=self.replace
@@ -161,11 +173,12 @@ class VIEngine:
         return loss, metrics
 
     def _pre_loss(self, params, key, starts):
-        from viforssms_tpu.data.features import gather_windows
-        from viforssms_tpu.inference.vi.elbo import assemble_path, obs_from_features
+        from viforssms_tpu.data.features import gather_series, gather_windows
+        from viforssms_tpu.inference.vi.elbo import obs_from_features
 
         t = self._terms(params, key, starts)
-        batch = gather_windows(self.tables, self.spec, starts)
+        gather = gather_series if self.series_mode else gather_windows
+        batch = gather(self.tables, self.spec, starts)
         y, obs_mask = obs_from_features(self.model, batch, self.spec)
         return self.model.pretrain_loss(t.x, t.theta, y, obs_mask), t
 
@@ -173,26 +186,31 @@ class VIEngine:
     def _build_steps(self):
         donate = (0,) if self.donate else ()
 
-        def train_step(state: TrainState):
-            key, k_starts, k_elbo = jax.random.split(state.key, 3)
-            starts = self._sample_starts(k_starts)
+        def train_at(state: TrainState, starts, key, next_key):
             (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                state.params, k_elbo, starts
+                state.params, key, starts
             )
             gnorm = optax.global_norm(grads)
             updates, opt_state = self.opt.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             metrics = metrics._replace(grad_norm=gnorm)
             return (
-                TrainState(params, opt_state, state.pre_opt_state, key, state.step + 1),
+                TrainState(params, opt_state, state.pre_opt_state, next_key, state.step + 1),
                 metrics,
             )
 
-        def pretrain_step(state: TrainState):
+        def train_step(state: TrainState):
             key, k_starts, k_elbo = jax.random.split(state.key, 3)
             starts = self._sample_starts(k_starts)
+            return train_at(state, starts, k_elbo, key)
+
+        def train_step_at(state: TrainState, starts):
+            key, k_elbo = jax.random.split(state.key)
+            return train_at(state, starts, k_elbo, key)
+
+        def pretrain_at(state: TrainState, starts, key, next_key):
             (loss, t), grads = jax.value_and_grad(self._pre_loss, has_aux=True)(
-                state.params, k_elbo, starts
+                state.params, key, starts
             )
             updates, pre_opt_state = self.pre_opt.update(
                 grads, state.pre_opt_state, state.params
@@ -201,10 +219,19 @@ class VIEngine:
             # finite-path gate signal (lotka_volterra_partial.py:388-400)
             finite = jnp.all(jnp.isfinite(t.path_lq))
             return (
-                TrainState(params, state.opt_state, pre_opt_state, key, state.step + 1),
+                TrainState(params, state.opt_state, pre_opt_state, next_key, state.step + 1),
                 loss,
                 finite,
             )
+
+        def pretrain_step(state: TrainState):
+            key, k_starts, k_elbo = jax.random.split(state.key, 3)
+            starts = self._sample_starts(k_starts)
+            return pretrain_at(state, starts, k_elbo, key)
+
+        def pretrain_step_at(state: TrainState, starts):
+            key, k_elbo = jax.random.split(state.key)
+            return pretrain_at(state, starts, k_elbo, key)
 
         def train_many(state: TrainState, num_steps: int):
             """num_steps training steps inside ONE compiled program (lax.scan):
@@ -219,8 +246,10 @@ class VIEngine:
             return state, ms
 
         self.train_step = jax.jit(train_step, donate_argnums=donate)
+        self.train_step_at = jax.jit(train_step_at, donate_argnums=donate)
         self.train_many = jax.jit(train_many, static_argnums=1, donate_argnums=donate)
         self.pretrain_step = jax.jit(pretrain_step, donate_argnums=donate)
+        self.pretrain_step_at = jax.jit(pretrain_step_at, donate_argnums=donate)
         self.eval_terms = jax.jit(
             lambda params, key, starts: self._terms(params, key, starts)
         )
@@ -260,6 +289,50 @@ class VIEngine:
             ):
                 checkpointer.save(state)
         return state, last
+
+    def fit_epochs(self, state: TrainState, num_epochs: int, pre_train_epochs: int = 0,
+                   logger=None, checkpointer=None, checkpoint_every: int = 100):
+        """Epoch training over the series axis: each epoch iterates all series
+        in deterministic batches of p (the tf.data loop of
+        ``..._learn_theta.py:602-731``). Requires series-mode tables."""
+        assert self.series_mode, "fit_epochs requires series-axis tables"
+        p = self.cfg.p
+        batches = [
+            np.arange(i, i + p, dtype=np.int32)
+            for i in range(0, self.num_series - p + 1, p)
+        ]
+        last = None
+        for epoch in range(num_epochs):
+            pre = epoch < pre_train_epochs
+            epoch_elbo = []
+            for idx in batches:
+                if pre:
+                    state, loss, _ = self.pretrain_step_at(state, jnp.asarray(idx))
+                else:
+                    state, metrics = self.train_step_at(state, jnp.asarray(idx))
+                    last = metrics
+                    epoch_elbo.append(float(metrics.elbo))
+            if logger is not None:
+                rec = {"epoch": epoch, "pretrain": float(pre)}
+                if epoch_elbo:
+                    rec["epoch_ELBO"] = float(np.mean(epoch_elbo))  # ..._learn_theta.py:713-717
+                logger.write(int(state.step), rec)
+            if checkpointer is not None and (epoch + 1) % checkpoint_every == 0:
+                checkpointer.save(state)
+        return state, last
+
+    def sample_series_paths(self, params, key):
+        """Posterior paths for every series (..._learn_theta.py:745-775):
+        returns (num_series, flow_dims, target_dims)."""
+        assert self.series_mode
+        p = self.cfg.p
+        outs = []
+        for i in range(0, self.num_series - p + 1, p):
+            key, sub = jax.random.split(key)
+            idx = jnp.arange(i, i + p, dtype=jnp.int32)
+            t = self.eval_terms(params, sub, idx)
+            outs.append(np.asarray(t.x[..., 1:]))
+        return np.concatenate(outs, axis=0)
 
     # ---- inference/export ----
     def sample_posterior_paths(self, params, key):
