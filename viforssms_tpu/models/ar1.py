@@ -49,6 +49,13 @@ class AR1(SSM):
         scale = jnp.asarray(self.prior_scale, theta.dtype)
         return jnp.sum(normal_logpdf(theta, mean, scale), axis=-1)
 
+    def transition_sample(self, key, x, theta):
+        """One-step ancestral draw x' ~ N(theta1 x + theta0, exp(theta2)) for SMC."""
+        import jax
+
+        loc = theta[1] * x + theta[0]
+        return loc + jnp.exp(theta[2]) * jax.random.normal(key, x.shape)
+
     def pretrain_loss(self, x, theta, y, obs_mask):
         # AR pre-trains on the observation likelihood alone (AR.py:201-202)
         del theta

@@ -98,6 +98,20 @@ class LotkaVolterra(SSM):
         scale = jnp.asarray(self.prior_scale, theta.dtype)
         return jnp.sum(normal_logpdf(theta, mean, scale), axis=-1)
 
+    def transition_sample(self, key, x, theta_rates):
+        """One Euler-Maruyama step for SMC: x (N, 2), theta_rates (3,) positive."""
+        import jax
+
+        t0, t1, t2 = theta_rates
+        x1, x2 = x[:, 0], x[:, 1]
+        a1, a2 = lv_drift(x1, x2, t0, t1, t2)
+        ca, cb, cc = lv_chol(x1, x2, t0, t1, t2)
+        z = jax.random.normal(key, x.shape)
+        sdt = jnp.sqrt(self.dt)
+        d1 = self.dt * a1 + sdt * ca * z[:, 0]
+        d2 = self.dt * a2 + sdt * (cb * z[:, 0] + cc * z[:, 1])
+        return jnp.maximum(jnp.stack([x1 + d1, x2 + d2], axis=1), 1e-3)
+
     def transform_path(self, x_raw, mask, shift):
         # softplus positivity + pin first column to x0 (lotka_volterra_partial.py:292-297)
         sp = Softplus()
