@@ -1,0 +1,289 @@
+"""Experiment drivers — one subcommand per reference experiment script.
+
+The reference ships each experiment as a standalone module-level script with
+hard-coded constants (``lotka_volterra_partial.py:465-530``,
+``SV_dense.py:404-463``, ``fitz_nag_NVP.py:451-518``,
+``..._learn_theta.py:778-877``). Here they are subcommands sharing the
+engine, with the same default hyperparameters:
+
+    python -m viforssms_tpu.cli.experiments lv-partial --dat-dir dat [--steps N]
+    python -m viforssms_tpu.cli.experiments sv-dense --sv-file dat/SV.dat
+    python -m viforssms_tpu.cli.experiments fitz-nag --dat-dir dat
+    python -m viforssms_tpu.cli.experiments lv-learn-theta --dat-dir dat/scratch
+
+Each run writes: a prior-predictive path dump before training
+(``lotka_volterra_partial.py:526``), JSONL metrics with the decomposed-ELBO
+names, checkpoints, and posterior path/theta dumps after training.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=None):
+    import jax
+
+    from viforssms_tpu.data.io import save_paths_txt, save_theta_txt
+    from viforssms_tpu.inference.vi.theta_flow import ThetaPosterior
+    from viforssms_tpu.utils.checkpoint import Checkpointer
+    from viforssms_tpu.utils.metrics import MetricWriter
+
+    os.makedirs(out_dir, exist_ok=True)
+    seed = eng.cfg.train.seed
+    state = eng.init(jax.random.key(seed))
+
+    # prior-predictive dump (lotka_volterra_partial.py:526)
+    paths0 = eng.sample_posterior_paths(state.params, jax.random.key(seed + 10))
+    save_paths_txt(os.path.join(out_dir, "prior_paths.txt"), paths0)
+
+    ckpt = Checkpointer(os.path.join(out_dir, "ckpt"))
+    with MetricWriter(os.path.join(out_dir, "metrics.jsonl")) as logger:
+        print("Pre-training...", flush=True)
+        state = eng.pretrain(state, num_steps=pretrain, finite_gate=finite_gate,
+                             log_every=100, logger=logger)
+        print("Training...", flush=True)
+        state, last = eng.fit(state, num_steps=num_steps, logger=logger,
+                              checkpointer=ckpt)
+        if truth_theta is not None and eng.fix_theta_value is None:
+            # "truth_log_prob" q(theta*) diagnostic (lotka_volterra_partial.py:319)
+            lp = eng.theta_flow.apply(
+                state.params["theta"], np.asarray([truth_theta], np.float32),
+                method=ThetaPosterior.log_prob,
+            )
+            logger.write(int(state.step), {"truth_log_prob": float(lp[0])})
+    ckpt.save(state)
+
+    paths = eng.sample_posterior_paths(state.params, jax.random.key(seed + 11))
+    save_paths_txt(os.path.join(out_dir, "posterior_paths.txt"), paths)
+    if eng.fix_theta_value is None:
+        theta = eng.sample_theta(state.params, jax.random.key(seed + 12), 100_000)
+        save_theta_txt(os.path.join(out_dir, "theta_posterior.txt"), theta)
+    print("Done:", out_dir, flush=True)
+    return state
+
+
+def run_lv_partial(dat_dir="dat", out_dir="out/lv_partial", steps=20_000,
+                   synthetic=False, pretrain_gate=1000):
+    """LV partially observed, fixed data (lotka_volterra_partial.py:465-530)."""
+    from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
+    from viforssms_tpu.data.features import lv_tables
+    from viforssms_tpu.data.io import load_series_2d
+    from viforssms_tpu.inference.vi.train import VIEngine
+    from viforssms_tpu.models.lotka_volterra import LotkaVolterra
+
+    p, kernel_len, dt, T = 50, 20, 0.1, 50.0
+    target = int(T / dt)
+    batch_dims, no_flows, fw = 50, 3, 10
+    x0 = (100.0, 100.0)
+    priors_mean = (np.log(4.428 / 10), np.log(0.029 / 10), np.log(2.957 / 10))
+    if synthetic:
+        from viforssms_tpu.data.generate import partial_observe_2d, simulate_lv
+
+        x = simulate_lv(tuple(np.exp(priors_mean)), x0=x0, dt=dt, T=T, seed=1)
+        obs, obs_bin, tt = partial_observe_2d(x, every=10, obs_std=1.0, seed=2)
+        tt = tt * dt
+    else:
+        obs, obs_bin, tt = load_series_2d(dat_dir, "LV")
+    cfg = VIConfig(
+        p=p, batch_dims=batch_dims, T=target,
+        flow=FlowConfig(kernel_len=kernel_len, no_flows=no_flows,
+                        network_dims=(50,) * 5, feat_window=fw, flow_dims=2),
+        train=TrainConfig(learn_rate=1e-3, grad_clip=1e9, nan_mask_loss=True),
+        theta_num_bijectors=4,
+    )
+    tables, spec = lv_tables(obs, obs_bin, tt, kernel_len, no_flows, fw,
+                             batch_dims, x0=x0, dt=dt)
+    model = LotkaVolterra(dt=dt, prior_mean=priors_mean, prior_scale=(1e-4,) * 3,
+                          jitter=1e-3)
+    eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True)
+    return _common(out_dir, eng, steps, pretrain=None, finite_gate=pretrain_gate,
+                   truth_theta=priors_mean)
+
+
+def run_sv_dense(sv_file="dat/SV.dat", out_dir="out/sv_dense", steps=20_000,
+                 pretrain=1000):
+    """Stochastic volatility on real returns (SV_dense.py:404-463)."""
+    from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
+    from viforssms_tpu.data.features import sv_tables
+    from viforssms_tpu.inference.vi.train import VIEngine
+    from viforssms_tpu.models.stochastic_volatility import StochasticVolatility
+
+    obs = np.loadtxt(sv_file, np.float32)[300:]
+    p, kernel_len, batch_dims, no_flows, fw = 200, 50, 52, 5, 5
+    target = len(obs) - 1
+    cfg = VIConfig(
+        p=p, batch_dims=batch_dims, T=target,
+        flow=FlowConfig(kernel_len=kernel_len, no_flows=no_flows,
+                        network_dims=(50,) * 5, feat_window=fw),
+        train=TrainConfig(learn_rate=1e-4, grad_clip=1e7),
+        theta_num_bijectors=4,
+    )
+    tables, spec = sv_tables(obs, kernel_len, no_flows, fw, batch_dims, x0=-8.5)
+    eng = VIEngine(model=StochasticVolatility(dt=1.0), cfg=cfg, tables=tables,
+                   spec=spec, use_norm=True)
+    return _common(out_dir, eng, steps, pretrain=pretrain)
+
+
+def run_fitz_nag(dat_dir="dat", out_dir="out/fitz_nag", steps=20_000,
+                 synthetic=False, T=100.0, pretrain_gate=1000):
+    """FitzHugh-Nagumo partial obs (fitz_nag_NVP.py:451-518)."""
+    from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
+    from viforssms_tpu.data.features import lv_tables
+    from viforssms_tpu.data.io import load_series_2d
+    from viforssms_tpu.inference.vi.train import VIEngine
+    from viforssms_tpu.models.fitzhugh_nagumo import FitzHughNagumo
+
+    p, kernel_len, dt = 50, 20, 0.1
+    batch_dims, no_flows, fw = 50, 3, 10
+    x0 = (-1.0, 1.0)
+    if synthetic:
+        from viforssms_tpu.data.generate import partial_observe_2d, simulate_fhn
+
+        theta_true = (np.log(2.0), 1.0, 1.5, np.log(0.5), np.log(0.3))
+        x = simulate_fhn(theta_true, x0=x0, dt=dt, T=T, seed=1)
+        obs, obs_bin, tt = partial_observe_2d(x, every=10, obs_std=0.1, seed=2)
+        tt = tt * dt
+    else:
+        obs, obs_bin, tt = load_series_2d(dat_dir, "fitz_nag")
+    target = obs.shape[1]
+    cfg = VIConfig(
+        p=p, batch_dims=batch_dims, T=target,
+        flow=FlowConfig(kernel_len=kernel_len, no_flows=no_flows,
+                        network_dims=(50,) * 5, feat_window=fw, flow_dims=2),
+        train=TrainConfig(learn_rate=1e-4, grad_clip=2.5e11, nan_mask_loss=True),
+        theta_num_bijectors=4,
+    )
+    tables, spec = lv_tables(obs, obs_bin, tt, kernel_len, no_flows, fw,
+                             batch_dims, x0=x0, dt=dt,
+                             context_flag_in_pad=True, time_till_end=-dt)
+    eng = VIEngine(model=FitzHughNagumo(dt=dt), cfg=cfg, tables=tables, spec=spec,
+                   use_norm=True)
+    return _common(out_dir, eng, steps, pretrain=None, finite_gate=pretrain_gate)
+
+
+def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
+                       num_epochs=1010, pre_train_epochs=500, synthetic=False,
+                       num_series=1024, p_val=128):
+    """Batched learn-theta LV over independent series (..._learn_theta.py:778-877)."""
+    import jax
+
+    from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
+    from viforssms_tpu.data.features import series_tables
+    from viforssms_tpu.data.io import load_series_2d, save_paths_txt, save_theta_txt
+    from viforssms_tpu.inference.vi.train import VIEngine
+    from viforssms_tpu.models.lotka_volterra import LotkaVolterraLearnTheta
+    from viforssms_tpu.utils.checkpoint import Checkpointer
+    from viforssms_tpu.utils.metrics import MetricWriter
+
+    kernel_len, dt, target = 20, 0.2, 151
+    no_flows, fw = 3, 10
+    x0_mean, x0_std = (91.0, 99.0), (1.0, 1.0)
+    prior_mean = tuple(np.log1p(np.exp([-1.0, -6.0, -1.0])))  # softplus
+    prior_sigma = (float(np.sqrt(0.1)),) * 3
+    if synthetic:
+        from viforssms_tpu.data.generate import partial_observe_2d, simulate_lv
+
+        obs_l, bin_l, tt_l = [], [], []
+        for j in range(num_series):
+            x = simulate_lv((0.5, 0.0025, 0.3), x0=x0_mean, dt=dt,
+                            T=(target - 1) * dt, seed=j)
+            o, b, t = partial_observe_2d(x, every=5, obs_std=1.0, seed=1000 + j)
+            o[b == 0] = 2.0
+            obs_l.append(o); bin_l.append(b); tt_l.append(t * dt)
+        obs = np.concatenate(obs_l, 1); obs_bin = np.concatenate(bin_l, 1)
+        tt = np.concatenate(tt_l, 1)
+        target = obs.shape[1] // num_series
+    else:
+        obs, obs_bin, tt = load_series_2d(dat_dir, "LV", unobserved_fill=2.0)
+        num_series = obs.shape[1] // target
+    cfg = VIConfig(
+        p=p_val, batch_dims=target, T=target,
+        flow=FlowConfig(kernel_len=kernel_len, no_flows=no_flows,
+                        network_dims=(50,) * 5, feat_window=fw, flow_dims=2,
+                        mu_softplus=True),
+        train=TrainConfig(learn_rate=1e-3, grad_clip=1e9, nan_mask_loss=True),
+        theta_num_bijectors=4, theta_softplus=True,
+    )
+    tables, spec = series_tables(obs, obs_bin, tt, num_series, kernel_len,
+                                 no_flows, fw, x0=x0_mean, dt=dt)
+    model = LotkaVolterraLearnTheta(dt=dt, prior_mean=prior_mean,
+                                    prior_sigma=prior_sigma, x0_mean=x0_mean,
+                                    x0_std=x0_std)
+    eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True)
+
+    os.makedirs(out_dir, exist_ok=True)
+    state = eng.init(jax.random.key(1))
+    save_paths_txt(os.path.join(out_dir, "lf_sample.txt"),
+                   eng.sample_series_paths(state.params, jax.random.key(2)))
+    save_theta_txt(os.path.join(out_dir, "q_theta.txt"),
+                   eng.sample_theta(state.params, jax.random.key(3), 100_000))
+    ckpt = Checkpointer(os.path.join(out_dir, "ckpt"))
+    with MetricWriter(os.path.join(out_dir, "metrics.jsonl")) as logger:
+        state, last = eng.fit_epochs(state, num_epochs=num_epochs,
+                                     pre_train_epochs=pre_train_epochs,
+                                     logger=logger, checkpointer=ckpt)
+    ckpt.save(state)
+    paths = eng.sample_series_paths(state.params, jax.random.key(4))
+    np.save(os.path.join(out_dir, "lf_sample_val.npy"), paths)
+    save_paths_txt(os.path.join(out_dir, "posterior_paths.txt"), paths)
+    save_theta_txt(os.path.join(out_dir, "theta_posterior.txt"),
+                   eng.sample_theta(state.params, jax.random.key(5), 100_000))
+    print("Done:", out_dir, flush=True)
+    return state
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    lv = sub.add_parser("lv-partial")
+    lv.add_argument("--dat-dir", default="dat")
+    lv.add_argument("--out", default="out/lv_partial")
+    lv.add_argument("--steps", type=int, default=20_000)
+    lv.add_argument("--synthetic", action="store_true")
+    lv.add_argument("--pretrain-gate", type=int, default=1000)
+
+    sv = sub.add_parser("sv-dense")
+    sv.add_argument("--sv-file", default="dat/SV.dat")
+    sv.add_argument("--out", default="out/sv_dense")
+    sv.add_argument("--steps", type=int, default=20_000)
+    sv.add_argument("--pretrain", type=int, default=1000)
+
+    fn = sub.add_parser("fitz-nag")
+    fn.add_argument("--dat-dir", default="dat")
+    fn.add_argument("--out", default="out/fitz_nag")
+    fn.add_argument("--steps", type=int, default=20_000)
+    fn.add_argument("--synthetic", action="store_true")
+    fn.add_argument("--T", type=float, default=100.0)
+    fn.add_argument("--pretrain-gate", type=int, default=1000)
+
+    lt = sub.add_parser("lv-learn-theta")
+    lt.add_argument("--dat-dir", default="dat/scratch")
+    lt.add_argument("--out", default="out/lv_learn_theta")
+    lt.add_argument("--epochs", type=int, default=1010)
+    lt.add_argument("--pre-train-epochs", type=int, default=500)
+    lt.add_argument("--synthetic", action="store_true")
+    lt.add_argument("--num-series", type=int, default=1024)
+    lt.add_argument("--p-val", type=int, default=128)
+
+    args = parser.parse_args(argv)
+    if args.cmd == "lv-partial":
+        run_lv_partial(args.dat_dir, args.out, args.steps, args.synthetic,
+                       args.pretrain_gate)
+    elif args.cmd == "sv-dense":
+        run_sv_dense(args.sv_file, args.out, args.steps, args.pretrain)
+    elif args.cmd == "fitz-nag":
+        run_fitz_nag(args.dat_dir, args.out, args.steps, args.synthetic, args.T,
+                     args.pretrain_gate)
+    elif args.cmd == "lv-learn-theta":
+        run_lv_learn_theta(args.dat_dir, args.out, args.epochs,
+                           args.pre_train_epochs, args.synthetic,
+                           args.num_series, args.p_val)
+
+
+if __name__ == "__main__":
+    main()
