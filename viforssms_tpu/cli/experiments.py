@@ -236,6 +236,87 @@ def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
     return state
 
 
+def run_series_sweep(dat_dir="dat", out_dir="out/lv_sweep", num_series=150,
+                     target=151, steps=3000, pre_train=1000, fix_theta=True,
+                     synthetic=False, p=50, dt=0.2):
+    """Fault-tolerant per-series sweep (lotka_volterra_latest.py:627-715):
+    an independent model per series, trained in sequence, with per-series
+    try/except-continue so one diverging series doesn't kill the sweep. In
+    place of per-series graph rebuilds, one compiled program is reused across
+    series (identical shapes -> zero recompilation)."""
+    import jax
+
+    from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
+    from viforssms_tpu.data.features import lv_tables
+    from viforssms_tpu.data.io import load_series_2d, save_paths_txt
+    from viforssms_tpu.inference.vi.train import VIEngine, metrics_to_dict
+    from viforssms_tpu.models.lotka_volterra import LotkaVolterraLearnTheta
+    from viforssms_tpu.utils.metrics import MetricWriter
+
+    prior_mean = tuple(np.log1p(np.exp([-1.0, -6.0, -1.0])))
+    if synthetic:
+        from viforssms_tpu.data.generate import partial_observe_2d, simulate_lv
+
+        obs_l, bin_l, tt_l = [], [], []
+        for j in range(num_series):
+            x = simulate_lv((0.5, 0.0025, 0.3), x0=(91.0, 99.0), dt=dt,
+                            T=(target - 1) * dt, seed=j)
+            o, b, t = partial_observe_2d(x, every=5, obs_std=1.0, seed=500 + j)
+            o[b == 0] = 2.0
+            obs_l.append(o); bin_l.append(b); tt_l.append(t * dt)
+        obs = np.concatenate(obs_l, 1); obs_bin = np.concatenate(bin_l, 1)
+        tt = np.concatenate(tt_l, 1)
+    else:
+        obs, obs_bin, tt = load_series_2d(dat_dir, "LV", unobserved_fill=2.0)
+        num_series = obs.shape[1] // target
+
+    cfg = VIConfig(
+        p=p, batch_dims=target, T=target,
+        flow=FlowConfig(kernel_len=20, no_flows=3, network_dims=(50,) * 5,
+                        feat_window=10, flow_dims=2, mu_softplus=True),
+        train=TrainConfig(learn_rate=1e-3, grad_clip=1e9, nan_mask_loss=True),
+        theta_num_bijectors=4, theta_softplus=True,
+    )
+    model = LotkaVolterraLearnTheta(dt=dt, prior_mean=prior_mean,
+                                    x0_mean=(91.0, 99.0), x0_std=(1.0, 1.0))
+    os.makedirs(out_dir, exist_ok=True)
+    eng = None
+    failures = []
+    for j in range(num_series):
+        sl = slice(j * target, (j + 1) * target)
+        try:
+            tables, spec = lv_tables(
+                obs[:, sl], obs_bin[:, sl], tt[:, sl], cfg.flow.kernel_len,
+                cfg.flow.no_flows, cfg.flow.feat_window, target,
+                x0=(91.0, 99.0), dt=dt,
+            )
+            if eng is None:
+                eng = VIEngine(
+                    model=model, cfg=cfg, tables=tables, spec=spec,
+                    use_norm=True,
+                    fix_theta_value=np.asarray(prior_mean, np.float32)
+                    if fix_theta else None,
+                )
+            else:
+                eng.tables = tables  # same shapes: compiled programs are reused
+            state = eng.init(jax.random.key(j))
+            state = eng.pretrain(state, num_steps=pre_train)
+            with MetricWriter(os.path.join(out_dir, f"series_{j:04d}",
+                                           "metrics.jsonl")) as logger:
+                state, last = eng.fit(state, num_steps=steps, logger=logger)
+            paths = eng.sample_posterior_paths(state.params, jax.random.key(10_000 + j))
+            save_paths_txt(os.path.join(out_dir, f"series_{j:04d}", "paths.txt"), paths)
+            print(f"series {j}: {metrics_to_dict(last)['ELBO']:.2f}", flush=True)
+        except Exception as e:  # noqa: BLE001 — per-series fault tolerance
+            failures.append((j, repr(e)))
+            print(f"series {j} FAILED: {e!r} — continuing", flush=True)
+    if failures:
+        with open(os.path.join(out_dir, "failures.txt"), "w") as f:
+            for j, msg in failures:
+                f.write(f"{j}\t{msg}\n")
+    print(f"sweep done: {num_series - len(failures)}/{num_series} ok", flush=True)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)

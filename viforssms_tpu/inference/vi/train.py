@@ -119,13 +119,16 @@ class VIEngine:
         )
 
     # ---- core losses ----
-    def _terms(self, params, key, starts):
+    def _terms(self, params, key, starts, tables=None):
+        tables = self.tables if tables is None else tables
         def flow_apply(z, feats, theta):
             return self.flow.apply(params["flow"], z, feats, theta)
 
         def theta_sample(k):
+            # one theta per row of `starts` (usually cfg.p; exports batch more)
             return self.theta_flow.apply(
-                params["theta"], k, self.cfg.p, method=ThetaPosterior.sample_and_log_prob
+                params["theta"], k, starts.shape[0],
+                method=ThetaPosterior.sample_and_log_prob,
             )
 
         shard_fn = None
@@ -139,7 +142,7 @@ class VIEngine:
 
             gather_fn = gather_series
         return compute_elbo(
-            self.model, flow_apply, theta_sample, key, self.tables, self.spec,
+            self.model, flow_apply, theta_sample, key, tables, self.spec,
             starts, self.cfg.elbo_scale, fix_theta_value=self.fix_theta_value,
             shard_fn=shard_fn, gather_fn=gather_fn,
         )
@@ -154,8 +157,8 @@ class VIEngine:
         )
         return idx.astype(jnp.int32) * self.cfg.batch_dims
 
-    def _loss(self, params, key, starts):
-        t = self._terms(params, key, starts)
+    def _loss(self, params, key, starts, tables=None):
+        t = self._terms(params, key, starts, tables)
         elbo = t.elbo
         if self.cfg.train.nan_mask_loss:  # ..._learn_theta.py:482
             elbo = jnp.where(jnp.isnan(elbo), jnp.zeros_like(elbo), elbo)
@@ -172,13 +175,14 @@ class VIEngine:
         )
         return loss, metrics
 
-    def _pre_loss(self, params, key, starts):
+    def _pre_loss(self, params, key, starts, tables=None):
         from viforssms_tpu.data.features import gather_series, gather_windows
         from viforssms_tpu.inference.vi.elbo import obs_from_features
 
-        t = self._terms(params, key, starts)
+        tables = self.tables if tables is None else tables
+        t = self._terms(params, key, starts, tables)
         gather = gather_series if self.series_mode else gather_windows
-        batch = gather(self.tables, self.spec, starts)
+        batch = gather(tables, self.spec, starts)
         y, obs_mask = obs_from_features(self.model, batch, self.spec)
         return self.model.pretrain_loss(t.x, t.theta, y, obs_mask), t
 
@@ -186,9 +190,9 @@ class VIEngine:
     def _build_steps(self):
         donate = (0,) if self.donate else ()
 
-        def train_at(state: TrainState, starts, key, next_key):
+        def train_at(state: TrainState, tables, starts, key, next_key):
             (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                state.params, key, starts
+                state.params, key, starts, tables
             )
             gnorm = optax.global_norm(grads)
             updates, opt_state = self.opt.update(grads, state.opt_state, state.params)
@@ -199,18 +203,18 @@ class VIEngine:
                 metrics,
             )
 
-        def train_step(state: TrainState):
+        def train_step(state: TrainState, tables):
             key, k_starts, k_elbo = jax.random.split(state.key, 3)
             starts = self._sample_starts(k_starts)
-            return train_at(state, starts, k_elbo, key)
+            return train_at(state, tables, starts, k_elbo, key)
 
-        def train_step_at(state: TrainState, starts):
+        def train_step_at(state: TrainState, tables, starts):
             key, k_elbo = jax.random.split(state.key)
-            return train_at(state, starts, k_elbo, key)
+            return train_at(state, tables, starts, k_elbo, key)
 
-        def pretrain_at(state: TrainState, starts, key, next_key):
+        def pretrain_at(state: TrainState, tables, starts, key, next_key):
             (loss, t), grads = jax.value_and_grad(self._pre_loss, has_aux=True)(
-                state.params, key, starts
+                state.params, key, starts, tables
             )
             updates, pre_opt_state = self.pre_opt.update(
                 grads, state.pre_opt_state, state.params
@@ -224,35 +228,41 @@ class VIEngine:
                 finite,
             )
 
-        def pretrain_step(state: TrainState):
+        def pretrain_step(state: TrainState, tables):
             key, k_starts, k_elbo = jax.random.split(state.key, 3)
             starts = self._sample_starts(k_starts)
-            return pretrain_at(state, starts, k_elbo, key)
+            return pretrain_at(state, tables, starts, k_elbo, key)
 
-        def pretrain_step_at(state: TrainState, starts):
+        def pretrain_step_at(state: TrainState, tables, starts):
             key, k_elbo = jax.random.split(state.key)
-            return pretrain_at(state, starts, k_elbo, key)
+            return pretrain_at(state, tables, starts, k_elbo, key)
 
-        def train_many(state: TrainState, num_steps: int):
+        def train_many(state: TrainState, tables, num_steps: int):
             """num_steps training steps inside ONE compiled program (lax.scan):
             a single host dispatch regardless of chunk size — the device never
             waits on the host between steps (the reference crossed the
             host/device boundary twice per step, SURVEY.md §3.1)."""
             def body(s, _):
-                s, m = train_step(s)
+                s, m = train_step(s, tables)
                 return s, m
 
             state, ms = jax.lax.scan(body, state, None, length=num_steps)
             return state, ms
 
-        self.train_step = jax.jit(train_step, donate_argnums=donate)
-        self.train_step_at = jax.jit(train_step_at, donate_argnums=donate)
-        self.train_many = jax.jit(train_many, static_argnums=1, donate_argnums=donate)
-        self.pretrain_step = jax.jit(pretrain_step, donate_argnums=donate)
-        self.pretrain_step_at = jax.jit(pretrain_step_at, donate_argnums=donate)
-        self.eval_terms = jax.jit(
-            lambda params, key, starts: self._terms(params, key, starts)
+        _train_step = jax.jit(train_step, donate_argnums=donate)
+        _train_step_at = jax.jit(train_step_at, donate_argnums=donate)
+        _train_many = jax.jit(train_many, static_argnums=2, donate_argnums=donate)
+        _pretrain_step = jax.jit(pretrain_step, donate_argnums=donate)
+        _pretrain_step_at = jax.jit(pretrain_step_at, donate_argnums=donate)
+        _eval_terms = jax.jit(
+            lambda params, key, starts, tables: self._terms(params, key, starts, tables)
         )
+        self.train_step = lambda state: _train_step(state, self.tables)
+        self.train_step_at = lambda state, starts: _train_step_at(state, self.tables, starts)
+        self.train_many = lambda state, n: _train_many(state, self.tables, n)
+        self.pretrain_step = lambda state: _pretrain_step(state, self.tables)
+        self.pretrain_step_at = lambda state, starts: _pretrain_step_at(state, self.tables, starts)
+        self.eval_terms = lambda params, key, starts: _eval_terms(params, key, starts, self.tables)
 
     # ---- loops ----
     def pretrain(self, state: TrainState, num_steps: Optional[int] = None,
@@ -336,15 +346,17 @@ class VIEngine:
 
     # ---- inference/export ----
     def sample_posterior_paths(self, params, key):
-        """Stitch full-length posterior paths window by window (AR.py:323-362)."""
-        outs = []
-        for s in self.spec.window_starts():
-            key, sub = jax.random.split(key)
-            starts = jnp.full((self.cfg.p,), int(s), jnp.int32)
-            t = self.eval_terms(params, sub, starts)
-            x = t.x
-            outs.append(np.asarray(x[..., 1:]))
-        return np.concatenate(outs, axis=-1)
+        """Stitch full-length posterior paths from all windows (AR.py:323-362).
+
+        All windows x particles evaluate in ONE device dispatch (the reference
+        ran a feed/fetch per window); with a mesh attached the rows shard over
+        the particle axis."""
+        ws = self.spec.window_starts()
+        starts = jnp.asarray(np.repeat(ws, self.cfg.p), jnp.int32)
+        t = self.eval_terms(params, key, starts)
+        x = np.asarray(t.x)  # (W*p, [d,] b+1)
+        x = x.reshape(len(ws), self.cfg.p, *x.shape[1:])
+        return np.concatenate([x[i][..., 1:] for i in range(len(ws))], axis=-1)
 
     def sample_theta(self, params, key, n):
         """Draw n theta samples from q(theta) (SV_dense.py:458-459)."""
