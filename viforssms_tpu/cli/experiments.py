@@ -190,7 +190,7 @@ def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
         obs_l, bin_l, tt_l = [], [], []
         for j in range(num_series):
             x = simulate_lv((0.5, 0.0025, 0.3), x0=x0_mean, dt=dt,
-                            T=(target - 1) * dt, seed=j)
+                            T=target * dt, seed=j)
             o, b, t = partial_observe_2d(x, every=5, obs_std=1.0, seed=1000 + j)
             o[b == 0] = 2.0
             obs_l.append(o); bin_l.append(b); tt_l.append(t * dt)
@@ -260,7 +260,7 @@ def run_series_sweep(dat_dir="dat", out_dir="out/lv_sweep", num_series=150,
         obs_l, bin_l, tt_l = [], [], []
         for j in range(num_series):
             x = simulate_lv((0.5, 0.0025, 0.3), x0=(91.0, 99.0), dt=dt,
-                            T=(target - 1) * dt, seed=j)
+                            T=target * dt, seed=j)
             o, b, t = partial_observe_2d(x, every=5, obs_std=1.0, seed=500 + j)
             o[b == 0] = 2.0
             obs_l.append(o); bin_l.append(b); tt_l.append(t * dt)
@@ -269,6 +269,7 @@ def run_series_sweep(dat_dir="dat", out_dir="out/lv_sweep", num_series=150,
     else:
         obs, obs_bin, tt = load_series_2d(dat_dir, "LV", unobserved_fill=2.0)
         num_series = obs.shape[1] // target
+    assert obs.shape[1] == num_series * target, (obs.shape, num_series, target)
 
     cfg = VIConfig(
         p=p, batch_dims=target, T=target,
