@@ -24,6 +24,10 @@ NOMINAL_REFERENCE_STEPS_PER_SEC = 10.0
 def main():
     import jax
 
+    from viforssms_tpu.core.platform import apply_platform_env
+
+    apply_platform_env()
+
     from __graft_entry__ import _lv_engine
 
     eng = _lv_engine(target=500, batch_dims=50, p=50, kernel_len=20, no_flows=3,

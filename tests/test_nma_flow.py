@@ -14,7 +14,7 @@ from viforssms_tpu.distributions.normal import normal_logpdf
 from viforssms_tpu.flows.nma import NMAFlowStack, pairwise_swap
 
 
-def _build(flow_dims, mu_softplus=False):
+def _build(flow_dims, mu_softplus=False, aligned=False):
     kernel_len, no_flows, batch_dims = 4, 2, 6
     stack = NMAFlowStack(
         network_dims=(8, 8, 8),
@@ -24,6 +24,7 @@ def _build(flow_dims, mu_softplus=False):
         flow_dims=flow_dims,
         use_norm=(flow_dims == 2),
         mu_softplus=mu_softplus,
+        aligned_feats=aligned,
     )
     kernel_ext = kernel_len * no_flows + flow_dims * batch_dims + flow_dims
     F = 5
@@ -51,10 +52,13 @@ def test_shapes_and_finiteness(flow_dims, mu1):
     assert np.all(np.isfinite(x)) and np.all(np.isfinite(log_q))
 
 
-@pytest.mark.parametrize("flow_dims,mu1", [(1, False), (2, False), (2, True)])
-def test_windowed_log_det_matches_jacobian(flow_dims, mu1):
+@pytest.mark.parametrize(
+    "flow_dims,mu1,aligned",
+    [(1, False, False), (2, False, False), (2, True, False), (2, True, True)],
+)
+def test_windowed_log_det_matches_jacobian(flow_dims, mu1, aligned):
     """log q = base_window_lp - logabsdet(d x_win / d z_win) for fixed context."""
-    stack, params, z, feats, theta, kext, out_len = _build(flow_dims, mu1)
+    stack, params, z, feats, theta, kext, out_len = _build(flow_dims, mu1, aligned)
     window = out_len - flow_dims  # flow_dims * batch_dims
     z0 = z[:1]
     feats0, theta0 = feats[:1], theta[:1]

@@ -319,6 +319,9 @@ def run_series_sweep(dat_dir="dat", out_dir="out/lv_sweep", num_series=150,
 
 
 def main(argv=None):
+    from viforssms_tpu.core.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
 

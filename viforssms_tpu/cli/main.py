@@ -158,6 +158,9 @@ def run_ar1(params, num_steps=2000, out_dir="out/ar1", dat_dir=None, seed=1):
 
 
 def main(argv=None):
+    from viforssms_tpu.core.platform import apply_platform_env
+
+    apply_platform_env()
     args = handle_opts(argv)
     if args.repair:
         print(DEFAULT_HYPERPARAMETERS)

@@ -37,6 +37,10 @@ class FlowConfig:
     # Width of the transposed feature embedding for 2-D flows
     # (lotka_volterra_partial.py:75-76). Ignored for flow_dims == 1.
     sigma_eps: float = 1e-10
+    # TPU-fast 2-D feature mode: locally-aligned features (1-D style) instead
+    # of the transposed global projection whose conv-channel count scales with
+    # the window (quadratic FLOPs). Off by default for reference parity.
+    aligned_feats_2d: bool = False
 
     def kernel_ext(self, batch_dims: int) -> int:
         """Extended sample window: context + target (+x0 slot(s)).

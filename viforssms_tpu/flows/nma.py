@@ -84,6 +84,11 @@ class ConvIAF(nn.Module):
     use_norm: bool = False    # ScaleOffset between 1x1 convs (non-AR scripts)
     mu_softplus: bool = False  # "mu1" variant: identity-half mu=1, softplus'd mu
     sigma_eps: float = 1e-10
+    # TPU-fast alternative for 2-D flows: keep features locally ALIGNED (the
+    # 1-D feature path) instead of the reference's transposed global
+    # projection, whose conv input channel count grows with the window length
+    # (quadratic FLOPs in kernel_ext — lotka_volterra_partial.py:75-79).
+    aligned_feats: bool = False
 
     @nn.compact
     def __call__(self, z, ts_feats, theta):
@@ -97,7 +102,7 @@ class ConvIAF(nn.Module):
 
         # --- feature net ---
         h = ts_feats[:, :-1, :]
-        if self.flow_dims == 1:
+        if self.flow_dims == 1 or self.aligned_feats:
             for i in range(4):  # AR.py:53-56
                 h = nn.elu(nn.Dense(w0, name=f"feat_{i}")(h))
         else:
@@ -168,6 +173,7 @@ class NMAFlowStack(nn.Module):
     use_norm: bool = False
     mu_softplus: bool = False
     sigma_eps: float = 1e-10
+    aligned_feats: bool = False  # see ConvIAF.aligned_feats
 
     @nn.compact
     def __call__(self, z, ts_feats, theta):
@@ -177,7 +183,7 @@ class NMAFlowStack(nn.Module):
         log_q = jnp.sum(normal_logpdf(z, 0.0, 1.0)[:, -window:], axis=1)
         x = z
         for i in range(self.no_flows):
-            if self.flow_dims == 1:
+            if self.flow_dims == 1 or self.aligned_feats:
                 feats = ts_feats[:, i * self.kernel_len :, :]
                 feat_dims = 0
             else:
@@ -192,6 +198,7 @@ class NMAFlowStack(nn.Module):
                 use_norm=self.use_norm,
                 mu_softplus=self.mu_softplus,
                 sigma_eps=self.sigma_eps,
+                aligned_feats=self.aligned_feats,
                 name=f"flow_{i}",
             )(x, feats, theta)
             log_q = log_q - jnp.sum(log_sigma[:, -window:], axis=1)
