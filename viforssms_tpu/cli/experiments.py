@@ -24,7 +24,8 @@ import os
 import numpy as np
 
 
-def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=None):
+def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=None,
+            resume=False):
     import jax
 
     from viforssms_tpu.data.io import save_paths_txt, save_theta_txt
@@ -36,15 +37,23 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
     seed = eng.cfg.train.seed
     state = eng.init(jax.random.key(seed))
 
-    # prior-predictive dump (lotka_volterra_partial.py:526)
-    paths0 = eng.sample_posterior_paths(state.params, jax.random.key(seed + 10))
-    save_paths_txt(os.path.join(out_dir, "prior_paths.txt"), paths0)
-
     ckpt = Checkpointer(os.path.join(out_dir, "ckpt"))
+    restored = ckpt.restore(state) if resume else None
+    if restored is not None:
+        # resume skips pre-training, like the reference's load() (AR.py:317-321)
+        print(f"Resuming from step {int(restored.step)}", flush=True)
+        state = restored
+        pretrain, finite_gate = 0, None
+    else:
+        # prior-predictive dump (lotka_volterra_partial.py:526)
+        paths0 = eng.sample_posterior_paths(state.params, jax.random.key(seed + 10))
+        save_paths_txt(os.path.join(out_dir, "prior_paths.txt"), paths0)
+
     with MetricWriter(os.path.join(out_dir, "metrics.jsonl")) as logger:
-        print("Pre-training...", flush=True)
-        state = eng.pretrain(state, num_steps=pretrain, finite_gate=finite_gate,
-                             log_every=100, logger=logger)
+        if restored is None:
+            print("Pre-training...", flush=True)
+            state = eng.pretrain(state, num_steps=pretrain, finite_gate=finite_gate,
+                                 log_every=100, logger=logger)
         print("Training...", flush=True)
         state, last = eng.fit(state, num_steps=num_steps, logger=logger,
                               checkpointer=ckpt)
@@ -67,7 +76,7 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
 
 
 def run_lv_partial(dat_dir="dat", out_dir="out/lv_partial", steps=20_000,
-                   synthetic=False, pretrain_gate=1000):
+                   synthetic=False, pretrain_gate=1000, resume=False):
     """LV partially observed, fixed data (lotka_volterra_partial.py:465-530)."""
     from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
     from viforssms_tpu.data.features import lv_tables
@@ -101,11 +110,11 @@ def run_lv_partial(dat_dir="dat", out_dir="out/lv_partial", steps=20_000,
                           jitter=1e-3)
     eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True)
     return _common(out_dir, eng, steps, pretrain=None, finite_gate=pretrain_gate,
-                   truth_theta=priors_mean)
+                   truth_theta=priors_mean, resume=resume)
 
 
 def run_sv_dense(sv_file="dat/SV.dat", out_dir="out/sv_dense", steps=20_000,
-                 pretrain=1000):
+                 pretrain=1000, resume=False):
     """Stochastic volatility on real returns (SV_dense.py:404-463)."""
     from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
     from viforssms_tpu.data.features import sv_tables
@@ -125,11 +134,11 @@ def run_sv_dense(sv_file="dat/SV.dat", out_dir="out/sv_dense", steps=20_000,
     tables, spec = sv_tables(obs, kernel_len, no_flows, fw, batch_dims, x0=-8.5)
     eng = VIEngine(model=StochasticVolatility(dt=1.0), cfg=cfg, tables=tables,
                    spec=spec, use_norm=True)
-    return _common(out_dir, eng, steps, pretrain=pretrain)
+    return _common(out_dir, eng, steps, pretrain=pretrain, resume=resume)
 
 
 def run_fitz_nag(dat_dir="dat", out_dir="out/fitz_nag", steps=20_000,
-                 synthetic=False, T=100.0, pretrain_gate=1000):
+                 synthetic=False, T=100.0, pretrain_gate=1000, resume=False):
     """FitzHugh-Nagumo partial obs (fitz_nag_NVP.py:451-518)."""
     from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
     from viforssms_tpu.data.features import lv_tables
@@ -162,7 +171,8 @@ def run_fitz_nag(dat_dir="dat", out_dir="out/fitz_nag", steps=20_000,
                              context_flag_in_pad=True, time_till_end=-dt)
     eng = VIEngine(model=FitzHughNagumo(dt=dt), cfg=cfg, tables=tables, spec=spec,
                    use_norm=True)
-    return _common(out_dir, eng, steps, pretrain=None, finite_gate=pretrain_gate)
+    return _common(out_dir, eng, steps, pretrain=None, finite_gate=pretrain_gate,
+                   resume=resume)
 
 
 def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
@@ -331,12 +341,14 @@ def main(argv=None):
     lv.add_argument("--steps", type=int, default=20_000)
     lv.add_argument("--synthetic", action="store_true")
     lv.add_argument("--pretrain-gate", type=int, default=1000)
+    lv.add_argument("--resume", action="store_true")
 
     sv = sub.add_parser("sv-dense")
     sv.add_argument("--sv-file", default="dat/SV.dat")
     sv.add_argument("--out", default="out/sv_dense")
     sv.add_argument("--steps", type=int, default=20_000)
     sv.add_argument("--pretrain", type=int, default=1000)
+    sv.add_argument("--resume", action="store_true")
 
     fn = sub.add_parser("fitz-nag")
     fn.add_argument("--dat-dir", default="dat")
@@ -345,6 +357,7 @@ def main(argv=None):
     fn.add_argument("--synthetic", action="store_true")
     fn.add_argument("--T", type=float, default=100.0)
     fn.add_argument("--pretrain-gate", type=int, default=1000)
+    fn.add_argument("--resume", action="store_true")
 
     lt = sub.add_parser("lv-learn-theta")
     lt.add_argument("--dat-dir", default="dat/scratch")
@@ -358,12 +371,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.cmd == "lv-partial":
         run_lv_partial(args.dat_dir, args.out, args.steps, args.synthetic,
-                       args.pretrain_gate)
+                       args.pretrain_gate, resume=args.resume)
     elif args.cmd == "sv-dense":
-        run_sv_dense(args.sv_file, args.out, args.steps, args.pretrain)
+        run_sv_dense(args.sv_file, args.out, args.steps, args.pretrain,
+                     resume=args.resume)
     elif args.cmd == "fitz-nag":
         run_fitz_nag(args.dat_dir, args.out, args.steps, args.synthetic, args.T,
-                     args.pretrain_gate)
+                     args.pretrain_gate, resume=args.resume)
     elif args.cmd == "lv-learn-theta":
         run_lv_learn_theta(args.dat_dir, args.out, args.epochs,
                            args.pre_train_epochs, args.synthetic,

@@ -41,6 +41,8 @@ class FlowConfig:
     # of the transposed global projection whose conv-channel count scales with
     # the window (quadratic FLOPs). Off by default for reference parity.
     aligned_feats_2d: bool = False
+    # rematerialize each flow in the backward pass (memory for FLOPs)
+    remat: bool = False
 
     def kernel_ext(self, batch_dims: int) -> int:
         """Extended sample window: context + target (+x0 slot(s)).

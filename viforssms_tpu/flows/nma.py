@@ -174,6 +174,10 @@ class NMAFlowStack(nn.Module):
     mu_softplus: bool = False
     sigma_eps: float = 1e-10
     aligned_feats: bool = False  # see ConvIAF.aligned_feats
+    # Rematerialize each flow in the backward pass (jax.checkpoint): trades
+    # ~1 extra forward per flow for not keeping its activations in HBM —
+    # the standard memory lever for long windows / many flows.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, z, ts_feats, theta):
@@ -190,7 +194,8 @@ class NMAFlowStack(nn.Module):
                 feats = ts_feats
                 # conv input length of flow i, minus one (lotka_volterra_partial.py:281)
                 feat_dims = kernel_ext - 1 - i * self.kernel_len
-            x, log_sigma = ConvIAF(
+            flow_cls = nn.remat(ConvIAF) if self.remat else ConvIAF
+            x, log_sigma = flow_cls(
                 network_dims=self.network_dims,
                 kernel_len=self.kernel_len,
                 flow_dims=self.flow_dims,

@@ -77,6 +77,7 @@ class VIEngine:
             mu_softplus=cfg.flow.mu_softplus,
             sigma_eps=cfg.flow.sigma_eps,
             aligned_feats=cfg.flow.aligned_feats_2d,
+            remat=cfg.flow.remat,
         )
         self.theta_flow = ThetaPosterior(
             dim=self.model.theta_dim,
