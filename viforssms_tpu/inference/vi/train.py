@@ -270,7 +270,27 @@ class VIEngine:
             state, (losses, finites) = jax.lax.scan(body, state, None, length=num_steps)
             return state, losses, finites
 
+        def train_epoch(state: TrainState, tables, idx_mat):
+            """One pass over (B, p) series-index batches inside a single
+            compiled scan (the tf.data epoch loop as one dispatch)."""
+            def body(s, idx):
+                s, m = train_step_at(s, tables, idx)
+                return s, m
+
+            state, ms = jax.lax.scan(body, state, idx_mat)
+            return state, ms
+
+        def pretrain_epoch(state: TrainState, tables, idx_mat):
+            def body(s, idx):
+                s, loss, finite = pretrain_step_at(s, tables, idx)
+                return s, (loss, finite)
+
+            state, (losses, finites) = jax.lax.scan(body, state, idx_mat)
+            return state, losses, finites
+
         _train_step = jax.jit(prec(train_step), donate_argnums=donate)
+        _train_epoch = jax.jit(prec(train_epoch), donate_argnums=donate)
+        _pretrain_epoch = jax.jit(prec(pretrain_epoch), donate_argnums=donate)
         _train_step_at = jax.jit(prec(train_step_at), donate_argnums=donate)
         _train_many = jax.jit(prec(train_many), static_argnums=2, donate_argnums=donate)
         _pretrain_step = jax.jit(prec(pretrain_step), donate_argnums=donate)
@@ -284,6 +304,8 @@ class VIEngine:
         self.train_many = lambda state, n: _train_many(state, self.tables, n)
         self.pretrain_step = lambda state: _pretrain_step(state, self.tables)
         self.pretrain_many = lambda state, n: _pretrain_many(state, self.tables, n)
+        self.train_epoch = lambda state, idx: _train_epoch(state, self.tables, idx)
+        self.pretrain_epoch = lambda state, idx: _pretrain_epoch(state, self.tables, idx)
         self.pretrain_step_at = lambda state, starts: _pretrain_step_at(state, self.tables, starts)
         self.eval_terms = lambda params, key, starts: _eval_terms(params, key, starts, self.tables)
 
@@ -365,21 +387,19 @@ class VIEngine:
             np.arange(i, i + p, dtype=np.int32)
             for i in range(0, self.num_series - p + 1, p)
         ]
+        idx_mat = jnp.asarray(np.stack(batches))  # (B, p)
         last = None
         for epoch in range(num_epochs):
             pre = epoch < pre_train_epochs
-            epoch_elbo = []
-            for idx in batches:
-                if pre:
-                    state, loss, _ = self.pretrain_step_at(state, jnp.asarray(idx))
-                else:
-                    state, metrics = self.train_step_at(state, jnp.asarray(idx))
-                    last = metrics
-                    epoch_elbo.append(float(metrics.elbo))
+            rec = {"epoch": epoch, "pretrain": float(pre)}
+            if pre:
+                state, losses, _ = self.pretrain_epoch(state, idx_mat)
+                rec["pretrain_loss"] = float(losses[-1])
+            else:
+                state, ms = self.train_epoch(state, idx_mat)
+                last = jax.tree.map(lambda a: a[-1], ms)
+                rec["epoch_ELBO"] = float(jnp.mean(ms.elbo))  # ..._learn_theta.py:713-717
             if logger is not None:
-                rec = {"epoch": epoch, "pretrain": float(pre)}
-                if epoch_elbo:
-                    rec["epoch_ELBO"] = float(np.mean(epoch_elbo))  # ..._learn_theta.py:713-717
                 logger.write(int(state.step), rec)
             if checkpointer is not None and (epoch + 1) % checkpoint_every == 0:
                 checkpointer.save(state)
