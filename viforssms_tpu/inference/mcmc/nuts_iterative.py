@@ -1,0 +1,169 @@
+"""Iterative No-U-Turn sampler (O(max_depth) memory, while-loop trajectories).
+
+The statically-unrolled NUTS in ``nuts.py`` traces 2^max_depth leapfrog calls
+(fine at depth <= 6; compile time explodes beyond). This variant implements
+the checkpoint formulation: leaves are generated one ``while_loop`` iteration
+at a time; even-indexed leaves are stored in a (max_depth+1)-slot buffer at
+slot popcount(i), and when leaf i (with t trailing one-bits) arrives, the
+U-turn condition is checked against checkpoint slots
+[popcount(i) - t, popcount(i) - 1] — exactly the starts of the dyadic
+sub-subtrees that end at leaf i, reproducing Algorithm 3's recursive checks
+with O(max_depth) state.
+
+Trajectory-level bookkeeping matches ``nuts.py`` (slice variant); the two
+samplers cross-validate on Gaussian targets in tests/test_mcmc_iterative.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from viforssms_tpu.inference.mcmc.hmc import da_init, da_update
+
+_DELTA_MAX = 1000.0
+
+
+class _Z(NamedTuple):
+    q: jax.Array
+    p: jax.Array
+
+
+def _ctz(n):
+    """count trailing zeros (n > 0)."""
+    low = n & -n
+    return jax.lax.population_count(low - 1)
+
+
+def nuts_sample_iterative(
+    log_prob_fn: Callable,
+    init_q,
+    key,
+    num_samples: int,
+    num_warmup: int = 500,
+    step_size: float = 0.1,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+):
+    grad_fn = jax.grad(log_prob_fn)
+    dim = init_q.shape[-1]
+
+    def leapfrog(z: _Z, eps):
+        p = z.p + 0.5 * eps * grad_fn(z.q)
+        q = z.q + eps * p
+        p = p + 0.5 * eps * grad_fn(q)
+        return _Z(q, p)
+
+    def hamiltonian(z: _Z):
+        return log_prob_fn(z.q) - 0.5 * jnp.sum(z.p * z.p)
+
+    def build_subtree(key, z_edge: _Z, v, depth, eps, log_u):
+        """Generate 2^depth leaves from z_edge in direction v, iteratively."""
+        n_leaves = jnp.asarray(2, jnp.int32) ** depth
+        q_ck = jnp.zeros((max_depth + 1, dim))
+        p_ck = jnp.zeros((max_depth + 1, dim))
+
+        def cond(c):
+            i, z, first, prop, n, stop, _, _, _ = c
+            return (i < n_leaves) & ~stop
+
+        def body(c):
+            i, z, first, prop, n, stop, q_ck, p_ck, k = c
+            k, k_prop = jax.random.split(k)
+            z = leapfrog(z, v * eps)
+            h = hamiltonian(z)
+            admissible = (log_u <= h).astype(jnp.int32)
+            diverged = ~(log_u < h + _DELTA_MAX)
+            n_new = n + admissible
+            take = jax.random.uniform(k_prop, ()) < admissible / jnp.maximum(n_new, 1)
+            prop = jnp.where(take, z.q, prop)
+            first = jax.tree.map(lambda a, b: jnp.where(i == 0, a, b), z, first)
+            # checkpoint bookkeeping
+            pc = jax.lax.population_count(i)
+            is_even = (i % 2) == 0
+            q_ck = jnp.where(is_even, q_ck.at[pc].set(z.q), q_ck)
+            p_ck = jnp.where(is_even, p_ck.at[pc].set(z.p), p_ck)
+            # U-turn vs dyadic sub-subtree starts ending at this (odd) leaf
+            t = _ctz(i + 1)  # number of trailing ones of i
+            idx_min = pc - t
+            idx_max = pc - 1
+
+            def check(s, turning):
+                active = (s >= idx_min) & (s <= idx_max) & ~is_even
+                dq = v * (z.q - q_ck[s])
+                turn_s = (jnp.dot(dq, p_ck[s]) < 0.0) | (jnp.dot(dq, z.p) < 0.0)
+                return turning | (active & turn_s)
+
+            turning = jax.lax.fori_loop(0, max_depth + 1, lambda s, tn: check(s, tn),
+                                        jnp.asarray(False))
+            stop = diverged | turning
+            return (i + 1, z, first, prop, n_new, stop, q_ck, p_ck, k)
+
+        init = (
+            jnp.asarray(0, jnp.int32), z_edge, z_edge, z_edge.q,
+            jnp.asarray(0, jnp.int32), jnp.asarray(False), q_ck, p_ck, key,
+        )
+        i, z_last, z_first, prop, n, stop, _, _, _ = jax.lax.while_loop(cond, body, init)
+        ok = (i >= n_leaves) & ~stop  # all leaves generated, no divergence/U-turn
+        return z_first, z_last, prop, n, ok
+
+    def transition(q, key, eps):
+        k_mom, k_slice, k_loop = jax.random.split(key, 3)
+        p0 = jax.random.normal(k_mom, q.shape)
+        z0 = _Z(q, p0)
+        h0 = hamiltonian(z0)
+        log_u = h0 + jnp.log(jax.random.uniform(k_slice, ()))
+
+        def cond(c):
+            depth, s, *_ = c
+            return s & (depth < max_depth)
+
+        def body(c):
+            depth, s, z_minus, z_plus, prop, n, k = c
+            k, kd, kt, ka = jax.random.split(k, 4)
+            v = jnp.where(jax.random.bernoulli(kd), 1.0, -1.0)
+            edge = jax.tree.map(lambda a, b: jnp.where(v > 0, a, b), z_plus, z_minus)
+            t_first, t_last, t_prop, t_n, t_ok = build_subtree(kt, edge, v, depth, eps, log_u)
+            accept = s & t_ok & (
+                jax.random.uniform(ka, ()) < t_n / jnp.maximum(n, 1)
+            )
+            prop = jnp.where(accept, t_prop, prop)
+            z_minus = jax.tree.map(lambda a, b: jnp.where(v < 0, a, b), t_last, z_minus)
+            z_plus = jax.tree.map(lambda a, b: jnp.where(v > 0, a, b), t_last, z_plus)
+            n = n + t_n
+            dq = z_plus.q - z_minus.q
+            no_uturn = (jnp.dot(dq, z_minus.p) >= 0.0) & (jnp.dot(dq, z_plus.p) >= 0.0)
+            s = s & t_ok & no_uturn
+            return (depth + 1, s, z_minus, z_plus, prop, n, k)
+
+        init = (jnp.asarray(0, jnp.int32), jnp.asarray(True), z0, z0, q,
+                jnp.asarray(1, jnp.int32), k_loop)
+        depth, s, _, _, prop, n, _ = jax.lax.while_loop(cond, body, init)
+        accept_stat = jnp.clip(n / (2.0 ** jnp.maximum(depth, 1)), 0.0, 1.0)
+        return prop, accept_stat
+
+    v_transition = jax.vmap(transition, in_axes=(0, 0, None))
+    n_chains = init_q.shape[0]
+
+    def warmup_step(carry, key):
+        q, da = carry
+        q, acc = v_transition(q, jax.random.split(key, n_chains), jnp.exp(da.log_step))
+        da = da_update(da, jnp.mean(acc), target=target_accept)
+        return (q, da), jnp.mean(acc)
+
+    def sample_step(carry, key):
+        q, eps = carry
+        q, acc = v_transition(q, jax.random.split(key, n_chains), eps)
+        return (q, eps), (q, jnp.mean(acc))
+
+    k_warm, k_samp = jax.random.split(key)
+    (q, da), warm_acc = jax.lax.scan(
+        warmup_step, (init_q, da_init(step_size)), jax.random.split(k_warm, num_warmup)
+    )
+    eps = jnp.exp(da.log_step_avg)
+    (_, _), (samples, acc) = jax.lax.scan(
+        sample_step, (q, eps), jax.random.split(k_samp, num_samples)
+    )
+    return samples, {"step_size": eps, "warmup_accept": warm_acc, "accept": acc}
