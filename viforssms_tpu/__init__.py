@@ -21,3 +21,22 @@ Layer map (cf. SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level API (keeps `import viforssms_tpu` dependency-light).
+    top = {
+        "VIEngine": ("viforssms_tpu.inference.vi.train", "VIEngine"),
+        "VIConfig": ("viforssms_tpu.core.config", "VIConfig"),
+        "FlowConfig": ("viforssms_tpu.core.config", "FlowConfig"),
+        "TrainConfig": ("viforssms_tpu.core.config", "TrainConfig"),
+        "NMAFlowStack": ("viforssms_tpu.flows.nma", "NMAFlowStack"),
+        "ThetaPosterior": ("viforssms_tpu.inference.vi.theta_flow", "ThetaPosterior"),
+        "make_mesh": ("viforssms_tpu.parallel.mesh", "make_mesh"),
+    }
+    if name in top:
+        import importlib
+
+        mod, attr = top[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

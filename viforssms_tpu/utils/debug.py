@@ -27,6 +27,26 @@ def assert_all_finite(tree, name: str = "tree"):
         raise FloatingPointError(f"{name}: {c['nan']} NaN, {c['inf']} Inf of {c['total']}")
 
 
+def check_engine_numerics(engine, state, key, starts=None) -> dict:
+    """Per-term NaN/Inf report for one ELBO evaluation — the reference's
+    monitor scopes (``..._learn_theta.py:528-567``) as an on-demand probe."""
+    import jax
+    import jax.numpy as jnp
+
+    if starts is None:
+        if engine.series_mode:
+            starts = jnp.arange(min(engine.cfg.p, engine.num_series), dtype=jnp.int32)
+        else:
+            starts = jnp.zeros((engine.cfg.p,), jnp.int32)
+    t = engine.eval_terms(state.params, key, starts)
+    report = {}
+    for name in ("elbo", "sde_lp", "obs_lp", "path_lq", "theta_lq", "prior_lp",
+                 "theta", "x"):
+        report[name] = nonfinite_counts(getattr(t, name))
+    report["params"] = nonfinite_counts(state.params)
+    return report
+
+
 def chol_range_monitor(a, c) -> dict:
     """Cholesky diagonal range monitor (..._learn_theta.py:552-567)."""
     return {
