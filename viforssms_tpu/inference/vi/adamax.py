@@ -9,6 +9,10 @@ Re-implements the update rule of the reference's custom optimizer
 
 Note this differs from ``optax.adamax`` (no bias correction; eps enters
 through the max), so we port the exact rule for training-dynamics parity.
+The update is invariant to loss scaling (v and m scale together), so using
+the particle-MEAN loss where the reference differentiates the particle SUM
+changes nothing except the operating point of the (huge, rarely-binding)
+global-norm clip thresholds.
 """
 
 from __future__ import annotations

@@ -425,6 +425,7 @@ class VIEngine:
         All windows x particles evaluate in ONE device dispatch (the reference
         ran a feed/fetch per window); with a mesh attached the rows shard over
         the particle axis."""
+        assert not self.series_mode, "use sample_series_paths for series-mode tables"
         ws = self.spec.window_starts()
         starts = jnp.asarray(np.repeat(ws, self.cfg.p), jnp.int32)
         t = self.eval_terms(params, key, starts)
