@@ -30,22 +30,28 @@ def main():
 
     from __graft_entry__ import _lv_engine
 
+    # bf16 MXU passes: ~1.3x over f32 with posterior recovery validated to be
+    # indistinguishable on the LV benchmark (docs/RESULTS.md)
     eng = _lv_engine(target=500, batch_dims=50, p=50, kernel_len=20, no_flows=3,
-                     net=(50,) * 5, feat_window=10)
+                     net=(50,) * 5, feat_window=10, matmul_precision="bfloat16")
     state = eng.init(jax.random.key(0))
 
     # compile + warmup: a scanned chunk is ONE device program per call, so the
-    # measurement is free of per-step host-dispatch latency over the tunnel
-    chunk = 50
+    # measurement is free of per-step host-dispatch latency over the tunnel.
+    # Fence with an actual host read (float(...)): the experimental remote
+    # backend's block_until_ready can report readiness early, which would
+    # make a chunk appear impossibly fast.
+    chunk = 250
     state, metrics = eng.train_many(state, chunk)
-    jax.block_until_ready(metrics.elbo)
+    float(metrics.elbo[-1])
 
     rates = []
-    for _ in range(4):
+    for i in range(5):
         t0 = time.perf_counter()
         state, metrics = eng.train_many(state, chunk)
-        jax.block_until_ready(metrics.elbo)
-        rates.append(chunk / (time.perf_counter() - t0))
+        float(metrics.elbo[-1])  # host read = true completion fence
+        if i > 0:  # skip the first post-warmup chunk (readiness anomalies)
+            rates.append(chunk / (time.perf_counter() - t0))
     rates.sort()
     steps_per_sec = rates[len(rates) // 2]  # median chunk rate
     print(
