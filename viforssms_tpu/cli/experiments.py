@@ -56,7 +56,7 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
                                  log_every=100, logger=logger)
         print("Training...", flush=True)
         state, last = eng.fit(state, num_steps=num_steps, logger=logger,
-                              checkpointer=ckpt)
+                              checkpointer=ckpt, scan_chunk=50)
         if truth_theta is not None and eng.fix_theta_value is None:
             # "truth_log_prob" q(theta*) diagnostic (lotka_volterra_partial.py:319)
             lp = eng.theta_flow.apply(

@@ -146,7 +146,7 @@ def run_ar1(params, num_steps=2000, out_dir="out/ar1", dat_dir=None, seed=1):
         state = eng.pretrain(state, log_every=100, logger=logger)
         print("Training...", flush=True)
         state, last = eng.fit(state, num_steps=num_steps, logger=logger,
-                              checkpointer=ckpt)
+                              checkpointer=ckpt, scan_chunk=50)
         print("Final metrics:", metrics_to_dict(last), flush=True)
     ckpt.save(state)
 
