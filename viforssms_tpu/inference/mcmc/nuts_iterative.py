@@ -59,23 +59,26 @@ def nuts_sample_iterative(
     def hamiltonian(z: _Z):
         return log_prob_fn(z.q) - 0.5 * jnp.sum(z.p * z.p)
 
-    def build_subtree(key, z_edge: _Z, v, depth, eps, log_u):
+    def build_subtree(key, z_edge: _Z, v, depth, eps, log_u, h0):
         """Generate 2^depth leaves from z_edge in direction v, iteratively."""
         n_leaves = jnp.asarray(2, jnp.int32) ** depth
         q_ck = jnp.zeros((max_depth + 1, dim))
         p_ck = jnp.zeros((max_depth + 1, dim))
 
         def cond(c):
-            i, z, first, prop, n, stop, _, _, _ = c
+            i, z, first, prop, n, stop, _, _, _, _, _ = c
             return (i < n_leaves) & ~stop
 
         def body(c):
-            i, z, first, prop, n, stop, q_ck, p_ck, k = c
+            i, z, first, prop, n, stop, q_ck, p_ck, k, a_sum, a_cnt = c
             k, k_prop = jax.random.split(k)
             z = leapfrog(z, v * eps)
             h = hamiltonian(z)
             admissible = (log_u <= h).astype(jnp.int32)
             diverged = ~(log_u < h + _DELTA_MAX)
+            # per-leaf Metropolis statistic for dual averaging (NUTS paper, eq. for alpha)
+            a_sum = a_sum + jnp.minimum(1.0, jnp.exp(h - h0))
+            a_cnt = a_cnt + 1
             n_new = n + admissible
             take = jax.random.uniform(k_prop, ()) < admissible / jnp.maximum(n_new, 1)
             prop = jnp.where(take, z.q, prop)
@@ -99,15 +102,18 @@ def nuts_sample_iterative(
             turning = jax.lax.fori_loop(0, max_depth + 1, lambda s, tn: check(s, tn),
                                         jnp.asarray(False))
             stop = diverged | turning
-            return (i + 1, z, first, prop, n_new, stop, q_ck, p_ck, k)
+            return (i + 1, z, first, prop, n_new, stop, q_ck, p_ck, k, a_sum, a_cnt)
 
         init = (
             jnp.asarray(0, jnp.int32), z_edge, z_edge, z_edge.q,
             jnp.asarray(0, jnp.int32), jnp.asarray(False), q_ck, p_ck, key,
+            jnp.asarray(0.0), jnp.asarray(0, jnp.int32),
         )
-        i, z_last, z_first, prop, n, stop, _, _, _ = jax.lax.while_loop(cond, body, init)
+        (i, z_last, z_first, prop, n, stop, _, _, _, a_sum, a_cnt) = jax.lax.while_loop(
+            cond, body, init
+        )
         ok = (i >= n_leaves) & ~stop  # all leaves generated, no divergence/U-turn
-        return z_first, z_last, prop, n, ok
+        return z_first, z_last, prop, n, ok, a_sum, a_cnt
 
     def transition(q, key, eps):
         k_mom, k_slice, k_loop = jax.random.split(key, 3)
@@ -121,11 +127,13 @@ def nuts_sample_iterative(
             return s & (depth < max_depth)
 
         def body(c):
-            depth, s, z_minus, z_plus, prop, n, k = c
+            depth, s, z_minus, z_plus, prop, n, k, a_sum, a_cnt = c
             k, kd, kt, ka = jax.random.split(k, 4)
             v = jnp.where(jax.random.bernoulli(kd), 1.0, -1.0)
             edge = jax.tree.map(lambda a, b: jnp.where(v > 0, a, b), z_plus, z_minus)
-            t_first, t_last, t_prop, t_n, t_ok = build_subtree(kt, edge, v, depth, eps, log_u)
+            (t_first, t_last, t_prop, t_n, t_ok, t_asum, t_acnt) = build_subtree(
+                kt, edge, v, depth, eps, log_u, h0
+            )
             accept = s & t_ok & (
                 jax.random.uniform(ka, ()) < t_n / jnp.maximum(n, 1)
             )
@@ -136,12 +144,14 @@ def nuts_sample_iterative(
             dq = z_plus.q - z_minus.q
             no_uturn = (jnp.dot(dq, z_minus.p) >= 0.0) & (jnp.dot(dq, z_plus.p) >= 0.0)
             s = s & t_ok & no_uturn
-            return (depth + 1, s, z_minus, z_plus, prop, n, k)
+            return (depth + 1, s, z_minus, z_plus, prop, n, k,
+                    a_sum + t_asum, a_cnt + t_acnt)
 
         init = (jnp.asarray(0, jnp.int32), jnp.asarray(True), z0, z0, q,
-                jnp.asarray(1, jnp.int32), k_loop)
-        depth, s, _, _, prop, n, _ = jax.lax.while_loop(cond, body, init)
-        accept_stat = jnp.clip(n / (2.0 ** jnp.maximum(depth, 1)), 0.0, 1.0)
+                jnp.asarray(1, jnp.int32), k_loop, jnp.asarray(0.0),
+                jnp.asarray(0, jnp.int32))
+        (depth, s, _, _, prop, n, _, a_sum, a_cnt) = jax.lax.while_loop(cond, body, init)
+        accept_stat = a_sum / jnp.maximum(a_cnt, 1)
         return prop, accept_stat
 
     v_transition = jax.vmap(transition, in_axes=(0, 0, None))
