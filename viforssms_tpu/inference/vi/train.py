@@ -433,6 +433,19 @@ class VIEngine:
         x = x.reshape(len(ws), self.cfg.p, *x.shape[1:])
         return np.concatenate([x[i][..., 1:] for i in range(len(ws))], axis=-1)
 
+    def estimate_elbo(self, params, key, num_draws: int = 20):
+        """Low-variance ELBO estimate averaged over fresh windows/noise draws
+        (the reference's commented-out ``ELBO_estimate``,
+        ``lotka_volterra_partial.py:524``). Returns (mean, std-error)."""
+        vals = []
+        for _ in range(num_draws):
+            key, k1, k2 = jax.random.split(key, 3)
+            starts = self._sample_starts(k1)
+            t = self.eval_terms(params, k2, starts)
+            vals.append(float(jnp.mean(t.elbo)))
+        vals = np.asarray(vals)
+        return float(vals.mean()), float(vals.std() / np.sqrt(len(vals)))
+
     def sample_theta(self, params, key, n):
         """Draw n theta samples from q(theta) (SV_dense.py:458-459)."""
         chunks = []
