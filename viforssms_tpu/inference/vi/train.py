@@ -419,19 +419,31 @@ class VIEngine:
         return np.concatenate(outs, axis=0)
 
     # ---- inference/export ----
-    def sample_posterior_paths(self, params, key):
+    def sample_posterior_paths(self, params, key, max_rows: int = 8192):
         """Stitch full-length posterior paths from all windows (AR.py:323-362).
 
-        All windows x particles evaluate in ONE device dispatch (the reference
-        ran a feed/fetch per window); with a mesh attached the rows shard over
-        the particle axis."""
+        Windows x particles evaluate in batched dispatches of at most
+        ``max_rows`` rows (one dispatch for typical series; chunked for very
+        long ones — a 1e6-step FHN series has 20k windows, far beyond one
+        program's memory). Chunks share one compiled shape (the last chunk is
+        padded with repeats and trimmed). With a mesh attached the rows shard
+        over the particle axis."""
         assert not self.series_mode, "use sample_series_paths for series-mode tables"
         ws = self.spec.window_starts()
-        starts = jnp.asarray(np.repeat(ws, self.cfg.p), jnp.int32)
-        t = self.eval_terms(params, key, starts)
-        x = np.asarray(t.x)  # (W*p, [d,] b+1)
-        x = x.reshape(len(ws), self.cfg.p, *x.shape[1:])
-        return np.concatenate([x[i][..., 1:] for i in range(len(ws))], axis=-1)
+        p = self.cfg.p
+        wpc = max(1, min(len(ws), max_rows // p))  # windows per chunk
+        outs = []
+        for c0 in range(0, len(ws), wpc):
+            chunk = ws[c0 : c0 + wpc]
+            n_real = len(chunk)
+            if n_real < wpc:  # pad to the compiled shape
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], wpc - n_real)])
+            starts = jnp.asarray(np.repeat(chunk, p), jnp.int32)
+            key, sub = jax.random.split(key)
+            t = self.eval_terms(params, sub, starts)
+            x = np.asarray(t.x).reshape(wpc, p, *t.x.shape[1:])
+            outs.extend(x[i][..., 1:] for i in range(n_real))
+        return np.concatenate(outs, axis=-1)
 
     def estimate_elbo(self, params, key, num_draws: int = 20):
         """Low-variance ELBO estimate averaged over fresh windows/noise draws
