@@ -115,25 +115,26 @@ def simulate_fhn(theta, x0=(-1.0, 1.0), dt=0.1, T=100.0, seed=1):
 def partial_observe_2d(x, every=10, obs_std=1.0, seed=2, observed_dims=(0, 1)):
     """Observe a 2-D path every ``every`` steps with Gaussian noise; returns
     (obs_filled (2,T), obs_bin (2,T), time_till (2,T)) in the reference's txt
-    layout (columns are latent steps 1..T)."""
+    layout (columns are latent steps 1..T). Vectorized (1e6-step series)."""
     rng = np.random.RandomState(seed)
     T = x.shape[1] - 1
     obs = np.zeros((2, T), np.float32)
     obs_bin = np.zeros((2, T), np.float32)
     time_till = np.zeros((2, T), np.float32)
+    idx = np.arange(every - 1, T, every)
     for d in range(2):
         if d not in observed_dims:
             time_till[d] = np.arange(T, 0, -1)
             continue
-        count = every
-        for t in range(T):
-            if (t + 1) % every == 0:
-                obs[d, t] = x[d, t + 1] + rng.normal(0.0, obs_std)
-                obs_bin[d, t] = 1.0
-        # steps until next observation
-        nxt = 0
-        for t in range(T - 1, -1, -1):
-            nxt = 0 if obs_bin[d, t] == 1.0 else nxt + 1
-            time_till[d, t] = nxt
-        del count
+        obs[d, idx] = x[d, idx + 1] + rng.normal(0.0, obs_std, size=len(idx))
+        obs_bin[d, idx] = 1.0
+        # steps until next observation: distance to the next index in `idx`
+        # (past the last observation: distance to the series end, matching the
+        # backward-counting loop this replaces)
+        t_arange = np.arange(T)
+        pos = np.searchsorted(idx, t_arange)
+        dist = np.where(
+            pos < len(idx), idx[np.minimum(pos, len(idx) - 1)] - t_arange, T - t_arange
+        )
+        time_till[d] = np.where(obs_bin[d] > 0, 0, dist)
     return obs, obs_bin, time_till
