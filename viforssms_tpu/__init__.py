@@ -33,6 +33,13 @@ def __getattr__(name):
         "NMAFlowStack": ("viforssms_tpu.flows.nma", "NMAFlowStack"),
         "ThetaPosterior": ("viforssms_tpu.inference.vi.theta_flow", "ThetaPosterior"),
         "make_mesh": ("viforssms_tpu.parallel.mesh", "make_mesh"),
+        "MetricWriter": ("viforssms_tpu.utils.metrics", "MetricWriter"),
+        "SummaryWriter": ("viforssms_tpu.utils.tensorboard", "SummaryWriter"),
+        "hmc_sample": ("viforssms_tpu.inference.mcmc.hmc", "hmc_sample"),
+        "nuts_sample_iterative": (
+            "viforssms_tpu.inference.mcmc.nuts_iterative", "nuts_sample_iterative"),
+        "bootstrap_filter": (
+            "viforssms_tpu.inference.smc.bootstrap", "bootstrap_filter"),
     }
     if name in top:
         import importlib

@@ -64,6 +64,12 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
                 method=ThetaPosterior.log_prob,
             )
             logger.write(int(state.step), {"truth_log_prob": float(lp[0])})
+        if eng.fix_theta_value is None:
+            # per-coordinate theta histograms (AR.py:217-224); TB sink only
+            th = np.asarray(eng.sample_theta(state.params,
+                                             jax.random.key(seed + 13), 4096))
+            for d in range(th.shape[-1]):
+                logger.write_histogram(int(state.step), f"theta_{d}", th[:, d])
     ckpt.save(state)
 
     paths = eng.sample_posterior_paths(state.params, jax.random.key(seed + 11))
@@ -333,6 +339,8 @@ def main(argv=None):
 
     apply_platform_env()
     parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-tb", "--tensorboard", action="store_true",
+                        help="Also write TensorBoard event files next to metrics.jsonl")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     lv = sub.add_parser("lv-partial")
@@ -369,6 +377,8 @@ def main(argv=None):
     lt.add_argument("--p-val", type=int, default=128)
 
     args = parser.parse_args(argv)
+    if args.tensorboard:
+        os.environ["VIFORSSMS_TENSORBOARD"] = "1"
     if args.cmd == "lv-partial":
         run_lv_partial(args.dat_dir, args.out, args.steps, args.synthetic,
                        args.pretrain_gate, resume=args.resume)

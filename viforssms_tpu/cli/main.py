@@ -67,6 +67,9 @@ def handle_opts(argv=None):
                         help="Training steps (new; the reference trains forever)")
     parser.add_argument("-out", dest="out_dir", default="out/ar1",
                         help="Output directory for metrics/checkpoints/dumps")
+    parser.add_argument("-tb", "--tensorboard", action="store_true", dest="tensorboard",
+                        default=False,
+                        help="Also write TensorBoard event files next to metrics.jsonl")
     parser.add_argument("-repair", action="store_true", dest="repair", default=False)
     return parser.parse_args(argv)
 
@@ -162,6 +165,8 @@ def main(argv=None):
 
     apply_platform_env()
     args = handle_opts(argv)
+    if args.tensorboard:
+        os.environ["VIFORSSMS_TENSORBOARD"] = "1"
     if args.repair:
         print(DEFAULT_HYPERPARAMETERS)
         sys.exit("Copy the above into a .txt file")

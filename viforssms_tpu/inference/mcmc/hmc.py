@@ -1,4 +1,4 @@
-"""Hamiltonian Monte Carlo with dual-averaging step-size adaptation.
+"""Hamiltonian Monte Carlo with dual-averaging and mass-matrix adaptation.
 
 Gold-standard validator for the VI posteriors (BASELINE.json north star; the
 reference has no MCMC at all — SURVEY.md §4). Chains are vectorized with
@@ -8,6 +8,14 @@ XLA lowers to a psum when the chain axis is sharded.
 
 Dual averaging follows Hoffman & Gelman (2014), Algorithm 5 defaults:
 gamma=0.05, t0=10, kappa=0.75, target acceptance delta=0.8.
+
+Diagonal mass-matrix adaptation (``adapt_mass=True``) uses a two-phase
+warmup: phase 1 adapts the step size under a unit metric while accumulating
+chain-pooled Welford statistics of the position (skipping the first quarter
+of the phase as burn-in); the regularized posterior variance then becomes the
+inverse mass for phase 2, which re-runs dual averaging under the new metric.
+This is the single-window simplification of Stan's windowed scheme — two
+compiled scans, no dynamic window bookkeeping inside the trace.
 """
 
 from __future__ import annotations
@@ -44,11 +52,52 @@ def da_update(state: DualAveragingState, accept_prob, target=0.8,
     return DualAveragingState(log_step, log_step_avg, h_avg, state.mu, t)
 
 
-def _leapfrog(grad_fn, q, p, step_size, num_steps):
+# ---------------------------------------------------------------------------
+# Chain-pooled Welford accumulation (for the diagonal metric)
+# ---------------------------------------------------------------------------
+
+
+class WelfordState(NamedTuple):
+    count: jax.Array  # scalar
+    mean: jax.Array   # (dim,)
+    m2: jax.Array     # (dim,)
+
+
+def welford_init(dim: int) -> WelfordState:
+    return WelfordState(jnp.zeros(()), jnp.zeros((dim,)), jnp.zeros((dim,)))
+
+
+def welford_update_batch(w: WelfordState, x) -> WelfordState:
+    """Merge a (chains, dim) batch into the running stats (Chan et al.)."""
+    nb = jnp.asarray(x.shape[0], x.dtype)
+    mean_b = jnp.mean(x, axis=0)
+    m2_b = jnp.sum((x - mean_b) ** 2, axis=0)
+    n_new = w.count + nb
+    delta = mean_b - w.mean
+    mean_new = w.mean + delta * nb / n_new
+    m2_new = w.m2 + m2_b + delta * delta * w.count * nb / n_new
+    return WelfordState(n_new, mean_new, m2_new)
+
+
+def welford_variance(w: WelfordState, regularize: bool = True):
+    """Sample variance, Stan-regularized toward 1e-3 for small counts."""
+    var = w.m2 / jnp.maximum(w.count - 1.0, 1.0)
+    if regularize:
+        n = w.count
+        var = (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
+    return var
+
+
+# ---------------------------------------------------------------------------
+# HMC
+# ---------------------------------------------------------------------------
+
+
+def _leapfrog(grad_fn, q, p, step_size, num_steps, inv_mass):
     def body(_, qp):
         q, p = qp
         p = p + 0.5 * step_size * grad_fn(q)
-        q = q + step_size * p
+        q = q + step_size * p * inv_mass
         p = p + 0.5 * step_size * grad_fn(q)
         return q, p
 
@@ -64,20 +113,23 @@ def hmc_sample(
     step_size: float = 0.1,
     num_leapfrog: int = 32,
     target_accept: float = 0.8,
+    adapt_mass: bool = False,
 ):
     """Run HMC chains. ``init_q``: (chains, dim). Returns (samples
     (num_samples, chains, dim), diagnostics dict)."""
     value_and_grad = jax.value_and_grad(log_prob_fn)
     grad_fn = jax.grad(log_prob_fn)
+    n_chains, dim = init_q.shape
 
-    def one_transition(q, key, eps):
+    def one_transition(q, key, eps, inv_mass):
         k_mom, k_acc = jax.random.split(key)
-        p0 = jax.random.normal(k_mom, q.shape)
+        # p ~ N(0, M) with M = inv_mass^-1 (diagonal)
+        p0 = jax.random.normal(k_mom, q.shape) * jax.lax.rsqrt(inv_mass)
         logp0, _ = value_and_grad(q)
-        h0 = logp0 - 0.5 * jnp.sum(p0 * p0)
-        q1, p1 = _leapfrog(grad_fn, q, p0, eps, num_leapfrog)
+        h0 = logp0 - 0.5 * jnp.sum(p0 * p0 * inv_mass)
+        q1, p1 = _leapfrog(grad_fn, q, p0, eps, num_leapfrog, inv_mass)
         logp1 = log_prob_fn(q1)
-        h1 = logp1 - 0.5 * jnp.sum(p1 * p1)
+        h1 = logp1 - 0.5 * jnp.sum(p1 * p1 * inv_mass)
         log_accept = jnp.minimum(0.0, h1 - h0)
         # guard divergences
         log_accept = jnp.where(jnp.isfinite(log_accept), log_accept, -jnp.inf)
@@ -85,27 +137,50 @@ def hmc_sample(
         q_new = jnp.where(accept, q1, q)
         return q_new, jnp.exp(log_accept)
 
-    v_transition = jax.vmap(one_transition, in_axes=(0, 0, None))
-    n_chains = init_q.shape[0]
+    v_transition = jax.vmap(one_transition, in_axes=(0, 0, None, None))
 
-    def warmup_step(carry, key):
-        q, da = carry
-        keys = jax.random.split(key, n_chains)
-        q, acc = v_transition(q, keys, jnp.exp(da.log_step))
-        da = da_update(da, jnp.mean(acc), target=target_accept)
-        return (q, da), jnp.mean(acc)
+    def warmup_phase(key, q, da, inv_mass, num_steps, collect_from):
+        """Scan of adaptation steps; Welford-pools q for t >= collect_from."""
+
+        def step(carry, inp):
+            t, key = inp
+            q, da, w = carry
+            keys = jax.random.split(key, n_chains)
+            q, acc = v_transition(q, keys, jnp.exp(da.log_step), inv_mass)
+            da = da_update(da, jnp.mean(acc), target=target_accept)
+            w_new = welford_update_batch(w, q)
+            w = jax.tree.map(
+                lambda a, b: jnp.where(t >= collect_from, a, b), w_new, w)
+            return (q, da, w), jnp.mean(acc)
+
+        keys = jax.random.split(key, num_steps)
+        (q, da, w), acc = jax.lax.scan(
+            step, (q, da, welford_init(dim)), (jnp.arange(num_steps), keys))
+        return q, da, w, acc
+
+    k_warm, k_warm2, k_samp = jax.random.split(key, 3)
+    inv_mass = jnp.ones((dim,), init_q.dtype)
+    if adapt_mass:
+        n1 = num_warmup // 2
+        q, da, w, acc1 = warmup_phase(
+            k_warm, init_q, da_init(step_size), inv_mass, n1, n1 // 4)
+        inv_mass = welford_variance(w).astype(init_q.dtype)
+        q, da, _, acc2 = warmup_phase(
+            k_warm2, q, da_init(float(step_size)), inv_mass,
+            num_warmup - n1, num_warmup)  # no collection in phase 2
+        warm_acc = jnp.concatenate([acc1, acc2])
+    else:
+        q, da, _, warm_acc = warmup_phase(
+            k_warm, init_q, da_init(step_size), inv_mass, num_warmup, num_warmup)
+
+    eps = jnp.exp(da.log_step_avg)
 
     def sample_step(carry, key):
         q, eps = carry
         keys = jax.random.split(key, n_chains)
-        q, acc = v_transition(q, keys, eps)
+        q, acc = v_transition(q, keys, eps, inv_mass)
         return (q, eps), (q, jnp.mean(acc))
 
-    k_warm, k_samp = jax.random.split(key)
-    (q, da), warm_acc = jax.lax.scan(
-        warmup_step, (init_q, da_init(step_size)), jax.random.split(k_warm, num_warmup)
-    )
-    eps = jnp.exp(da.log_step_avg)
     (_, _), (samples, acc) = jax.lax.scan(
         sample_step, (q, eps), jax.random.split(k_samp, num_samples)
     )
@@ -113,4 +188,5 @@ def hmc_sample(
         "step_size": eps,
         "warmup_accept": warm_acc,
         "accept": acc,
+        "inv_mass": inv_mass,
     }

@@ -12,6 +12,10 @@ with O(max_depth) state.
 
 Trajectory-level bookkeeping matches ``nuts.py`` (slice variant); the two
 samplers cross-validate on Gaussian targets in tests/test_mcmc_iterative.py.
+
+With ``adapt_mass=True`` a diagonal metric is adapted during warmup (same
+two-phase Welford scheme as hmc.py); the U-turn criterion then uses
+velocities ``M^{-1} p`` as in Stan.
 """
 
 from __future__ import annotations
@@ -21,7 +25,13 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from viforssms_tpu.inference.mcmc.hmc import da_init, da_update
+from viforssms_tpu.inference.mcmc.hmc import (
+    da_init,
+    da_update,
+    welford_init,
+    welford_update_batch,
+    welford_variance,
+)
 
 _DELTA_MAX = 1000.0
 
@@ -46,20 +56,21 @@ def nuts_sample_iterative(
     step_size: float = 0.1,
     max_depth: int = 10,
     target_accept: float = 0.8,
+    adapt_mass: bool = False,
 ):
     grad_fn = jax.grad(log_prob_fn)
     dim = init_q.shape[-1]
 
-    def leapfrog(z: _Z, eps):
+    def leapfrog(z: _Z, eps, inv_mass):
         p = z.p + 0.5 * eps * grad_fn(z.q)
-        q = z.q + eps * p
+        q = z.q + eps * p * inv_mass
         p = p + 0.5 * eps * grad_fn(q)
         return _Z(q, p)
 
-    def hamiltonian(z: _Z):
-        return log_prob_fn(z.q) - 0.5 * jnp.sum(z.p * z.p)
+    def hamiltonian(z: _Z, inv_mass):
+        return log_prob_fn(z.q) - 0.5 * jnp.sum(z.p * z.p * inv_mass)
 
-    def build_subtree(key, z_edge: _Z, v, depth, eps, log_u, h0):
+    def build_subtree(key, z_edge: _Z, v, depth, eps, log_u, h0, inv_mass):
         """Generate 2^depth leaves from z_edge in direction v, iteratively."""
         n_leaves = jnp.asarray(2, jnp.int32) ** depth
         q_ck = jnp.zeros((max_depth + 1, dim))
@@ -72,8 +83,8 @@ def nuts_sample_iterative(
         def body(c):
             i, z, first, prop, n, stop, q_ck, p_ck, k, a_sum, a_cnt = c
             k, k_prop = jax.random.split(k)
-            z = leapfrog(z, v * eps)
-            h = hamiltonian(z)
+            z = leapfrog(z, v * eps, inv_mass)
+            h = hamiltonian(z, inv_mass)
             admissible = (log_u <= h).astype(jnp.int32)
             diverged = ~(log_u < h + _DELTA_MAX)
             # per-leaf Metropolis statistic for dual averaging (NUTS paper, eq. for alpha)
@@ -96,7 +107,8 @@ def nuts_sample_iterative(
             def check(s, turning):
                 active = (s >= idx_min) & (s <= idx_max) & ~is_even
                 dq = v * (z.q - q_ck[s])
-                turn_s = (jnp.dot(dq, p_ck[s]) < 0.0) | (jnp.dot(dq, z.p) < 0.0)
+                turn_s = (jnp.dot(dq, p_ck[s] * inv_mass) < 0.0) | (
+                    jnp.dot(dq, z.p * inv_mass) < 0.0)
                 return turning | (active & turn_s)
 
             turning = jax.lax.fori_loop(0, max_depth + 1, lambda s, tn: check(s, tn),
@@ -115,11 +127,11 @@ def nuts_sample_iterative(
         ok = (i >= n_leaves) & ~stop  # all leaves generated, no divergence/U-turn
         return z_first, z_last, prop, n, ok, a_sum, a_cnt
 
-    def transition(q, key, eps):
+    def transition(q, key, eps, inv_mass):
         k_mom, k_slice, k_loop = jax.random.split(key, 3)
-        p0 = jax.random.normal(k_mom, q.shape)
+        p0 = jax.random.normal(k_mom, q.shape) * jax.lax.rsqrt(inv_mass)
         z0 = _Z(q, p0)
-        h0 = hamiltonian(z0)
+        h0 = hamiltonian(z0, inv_mass)
         log_u = h0 + jnp.log(jax.random.uniform(k_slice, ()))
 
         def cond(c):
@@ -132,7 +144,7 @@ def nuts_sample_iterative(
             v = jnp.where(jax.random.bernoulli(kd), 1.0, -1.0)
             edge = jax.tree.map(lambda a, b: jnp.where(v > 0, a, b), z_plus, z_minus)
             (t_first, t_last, t_prop, t_n, t_ok, t_asum, t_acnt) = build_subtree(
-                kt, edge, v, depth, eps, log_u, h0
+                kt, edge, v, depth, eps, log_u, h0, inv_mass
             )
             accept = s & t_ok & (
                 jax.random.uniform(ka, ()) < t_n / jnp.maximum(n, 1)
@@ -142,7 +154,8 @@ def nuts_sample_iterative(
             z_plus = jax.tree.map(lambda a, b: jnp.where(v > 0, a, b), t_last, z_plus)
             n = n + t_n
             dq = z_plus.q - z_minus.q
-            no_uturn = (jnp.dot(dq, z_minus.p) >= 0.0) & (jnp.dot(dq, z_plus.p) >= 0.0)
+            no_uturn = (jnp.dot(dq, z_minus.p * inv_mass) >= 0.0) & (
+                jnp.dot(dq, z_plus.p * inv_mass) >= 0.0)
             s = s & t_ok & no_uturn
             return (depth + 1, s, z_minus, z_plus, prop, n, k,
                     a_sum + t_asum, a_cnt + t_acnt)
@@ -154,26 +167,50 @@ def nuts_sample_iterative(
         accept_stat = a_sum / jnp.maximum(a_cnt, 1)
         return prop, accept_stat
 
-    v_transition = jax.vmap(transition, in_axes=(0, 0, None))
+    v_transition = jax.vmap(transition, in_axes=(0, 0, None, None))
     n_chains = init_q.shape[0]
 
-    def warmup_step(carry, key):
-        q, da = carry
-        q, acc = v_transition(q, jax.random.split(key, n_chains), jnp.exp(da.log_step))
-        da = da_update(da, jnp.mean(acc), target=target_accept)
-        return (q, da), jnp.mean(acc)
+    def warmup_phase(key, q, da, inv_mass, num_steps, collect_from):
+        def step(carry, inp):
+            t, key = inp
+            q, da, w = carry
+            q, acc = v_transition(q, jax.random.split(key, n_chains),
+                                  jnp.exp(da.log_step), inv_mass)
+            da = da_update(da, jnp.mean(acc), target=target_accept)
+            w_new = welford_update_batch(w, q)
+            w = jax.tree.map(
+                lambda a, b: jnp.where(t >= collect_from, a, b), w_new, w)
+            return (q, da, w), jnp.mean(acc)
+
+        keys = jax.random.split(key, num_steps)
+        (q, da, w), acc = jax.lax.scan(
+            step, (q, da, welford_init(dim)), (jnp.arange(num_steps), keys))
+        return q, da, w, acc
+
+    k_warm, k_warm2, k_samp = jax.random.split(key, 3)
+    inv_mass = jnp.ones((dim,), init_q.dtype)
+    if adapt_mass:
+        n1 = num_warmup // 2
+        q, da, w, acc1 = warmup_phase(
+            k_warm, init_q, da_init(step_size), inv_mass, n1, n1 // 4)
+        inv_mass = welford_variance(w).astype(init_q.dtype)
+        q, da, _, acc2 = warmup_phase(
+            k_warm2, q, da_init(float(step_size)), inv_mass,
+            num_warmup - n1, num_warmup)
+        warm_acc = jnp.concatenate([acc1, acc2])
+    else:
+        q, da, _, warm_acc = warmup_phase(
+            k_warm, init_q, da_init(step_size), inv_mass, num_warmup, num_warmup)
+
+    eps = jnp.exp(da.log_step_avg)
 
     def sample_step(carry, key):
         q, eps = carry
-        q, acc = v_transition(q, jax.random.split(key, n_chains), eps)
+        q, acc = v_transition(q, jax.random.split(key, n_chains), eps, inv_mass)
         return (q, eps), (q, jnp.mean(acc))
 
-    k_warm, k_samp = jax.random.split(key)
-    (q, da), warm_acc = jax.lax.scan(
-        warmup_step, (init_q, da_init(step_size)), jax.random.split(k_warm, num_warmup)
-    )
-    eps = jnp.exp(da.log_step_avg)
     (_, _), (samples, acc) = jax.lax.scan(
         sample_step, (q, eps), jax.random.split(k_samp, num_samples)
     )
-    return samples, {"step_size": eps, "warmup_accept": warm_acc, "accept": acc}
+    return samples, {"step_size": eps, "warmup_accept": warm_acc, "accept": acc,
+                     "inv_mass": inv_mass}

@@ -6,14 +6,24 @@ BASELINE.json: "SMC resampling weights ... reduced by jax.lax.psum"):
   * propagation and weighting are purely local;
   * the evidence increment is a numerically-stable global logsumexp
     (``pmax`` + ``psum``);
-  * systematic resampling is GLOBAL and exact: the weight vector and particle
-    block are all-gathered (cheap for SSM state dims at ICI bandwidth), each
-    device materializes its own slice of the resampled population. A
-    redistribution scheme that avoids the particle all-gather (ring exchange
-    of surplus/deficit) is future work.
+  * systematic resampling is GLOBAL and exact, with two interchangeable
+    communication schemes (same inverse CDF; outputs can differ by float
+    ties at block boundaries):
+
+    - ``resampling="gather"``: all-gather the weight vector and particle
+      block; each device materializes its slice of the resampled population.
+      Simple; per-device memory is O(N_total · state).
+    - ``resampling="ring"``: gather-free. Only the n_dev per-device weight
+      *sums* are exchanged; each device derives the global inverse-CDF
+      positions it owns, then particle blocks circulate around the ICI ring
+      (``ppermute`` with their local weight cumsums) for n_dev-1 hops and
+      each device picks out the ancestors that live in the passing block.
+      Per-device memory stays O(N_local · state) — the scheme for very large
+      particle counts or state dims.
 
 Matches the single-device ``bootstrap_filter`` bit-for-bit in expectation;
-tests check evidence agreement against the exact Kalman filter.
+tests check evidence agreement against the exact Kalman filter, ring-vs-gather
+statistical agreement, and ring exactness against the global inverse CDF.
 """
 
 from __future__ import annotations
@@ -27,6 +37,42 @@ from jax.sharding import PartitionSpec as P
 from viforssms_tpu.inference.smc.bootstrap import SMCResult
 
 
+def _ring_resample(parts, w_local, pos, axis, n_dev, n_local):
+    """Gather-free systematic resampling on a ring.
+
+    ``w_local`` is globally normalized; ``pos`` are this device's global
+    inverse-CDF positions in (0, 1]. Returns the resampled local block.
+    """
+    my = jax.lax.axis_index(axis)
+    # per-device weight sums -> global block boundaries (n_dev scalars only)
+    s_dev = jax.lax.all_gather(jnp.sum(w_local), axis)          # (n_dev,)
+    cum_dev = jnp.cumsum(s_dev)                                  # inclusive
+    # which block owns each of my positions (same semantics as global
+    # searchsorted over the full cumsum: first d with cum_dev[d] >= pos)
+    block_of_pos = jnp.clip(jnp.searchsorted(cum_dev, pos), 0, n_dev - 1)
+    base_dev = cum_dev - s_dev                                   # exclusive
+
+    cum_local = jnp.cumsum(w_local)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def hop(s, carry):
+        parts_h, cum_h, out = carry
+        d = (my - s) % n_dev        # owner of the block currently held
+        pos_rel = pos - base_dev[d]
+        idx = jnp.clip(jnp.searchsorted(cum_h, pos_rel), 0, n_local - 1)
+        take = jnp.take(parts_h, idx, axis=0)
+        mask = (block_of_pos == d)
+        out = jnp.where(
+            mask.reshape((-1,) + (1,) * (parts_h.ndim - 1)), take, out)
+        parts_h = jax.lax.ppermute(parts_h, axis, perm)
+        cum_h = jax.lax.ppermute(cum_h, axis, perm)
+        return parts_h, cum_h, out
+
+    _, _, out = jax.lax.fori_loop(
+        0, n_dev, hop, (parts, cum_local, jnp.zeros_like(parts)))
+    return out
+
+
 def sharded_bootstrap_filter(
     init_particles,                # (N, ...) — leading axis divides the mesh axis
     transition_sample: Callable,   # (key, x) -> x'
@@ -36,10 +82,12 @@ def sharded_bootstrap_filter(
     key,
     mesh,
     axis: str = "particles",
+    resampling: str = "gather",    # "gather" | "ring"
 ) -> SMCResult:
     n_total = init_particles.shape[0]
     n_dev = mesh.shape[axis]
     assert n_total % n_dev == 0
+    assert resampling in ("gather", "ring")
     n_local = n_total // n_dev
 
     def local_filter(particles, key):
@@ -62,15 +110,19 @@ def sharded_bootstrap_filter(
             ess = 1.0 / jax.lax.psum(jnp.sum(w_local * w_local), axis)
             mean = jax.lax.psum(jnp.tensordot(w_local, parts, axes=(0, 0)), axis)
             # exact global systematic resampling
-            w_all = jax.lax.all_gather(w_local, axis).reshape(-1)
-            parts_all = jax.lax.all_gather(parts, axis).reshape(
-                (n_total,) + parts.shape[1:]
-            )
-            cum = jnp.cumsum(w_all)
             u = jax.random.uniform(k_res, ())  # same on all devices
             pos = (u + my * n_local + jnp.arange(n_local)) / n_total
-            idx = jnp.clip(jnp.searchsorted(cum, pos), 0, n_total - 1)
-            resampled = jnp.take(parts_all, idx, axis=0)
+            if resampling == "ring":
+                resampled = _ring_resample(
+                    parts, w_local, pos, axis, n_dev, n_local)
+            else:
+                w_all = jax.lax.all_gather(w_local, axis).reshape(-1)
+                parts_all = jax.lax.all_gather(parts, axis).reshape(
+                    (n_total,) + parts.shape[1:]
+                )
+                cum = jnp.cumsum(w_all)
+                idx = jnp.clip(jnp.searchsorted(cum, pos), 0, n_total - 1)
+                resampled = jnp.take(parts_all, idx, axis=0)
             parts = jnp.where(m > 0, resampled, parts)
             return (parts, log_z, k), (mean, ess)
 
