@@ -27,6 +27,23 @@ def test_aggregate_runs_aligns_to_shortest(tmp_path):
     np.testing.assert_allclose(steps, [0, 1, 2])
 
 
+def test_aggregate_runs_scrapes_tb_event_files(tmp_path):
+    from viforssms_tpu.utils.tensorboard import SummaryWriter
+
+    for name, values in [("run_a", [1.0, 2.0, 3.0]), ("run_b", [5.0, 6.0, 7.0])]:
+        d = tmp_path / name
+        d.mkdir(parents=True)
+        with SummaryWriter(str(d)) as w:
+            for i, v in enumerate(values):
+                w.add_scalar("ELBO", v, step=i)
+    steps, values = aggregate_runs(
+        str(tmp_path / "run_*" / "events.out.tfevents.*"))
+    assert values.shape == (2, 3)
+    np.testing.assert_allclose(values[0], [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(values[1], [5.0, 6.0, 7.0])
+    np.testing.assert_allclose(steps, [0, 1, 2])
+
+
 def test_export_npy_roundtrip(tmp_path):
     _write_run(tmp_path, "run_a", [1.0, 2.0])
     out = str(tmp_path / "agg.npy")

@@ -32,6 +32,7 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
     from viforssms_tpu.inference.vi.theta_flow import ThetaPosterior
     from viforssms_tpu.utils.checkpoint import Checkpointer
     from viforssms_tpu.utils.metrics import MetricWriter
+    from viforssms_tpu.utils.preemption import PreemptionGuard
 
     os.makedirs(out_dir, exist_ok=True)
     seed = eng.cfg.train.seed
@@ -55,8 +56,15 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
             state = eng.pretrain(state, num_steps=pretrain, finite_gate=finite_gate,
                                  log_every=100, logger=logger)
         print("Training...", flush=True)
-        state, last = eng.fit(state, num_steps=num_steps, logger=logger,
-                              checkpointer=ckpt, scan_chunk=50)
+        with PreemptionGuard() as guard:
+            state, last = eng.fit(state, num_steps=num_steps, logger=logger,
+                                  checkpointer=ckpt, scan_chunk=50,
+                                  should_stop=guard)
+        if guard.triggered:
+            ckpt.save(state)
+            print(f"Preempted at step {int(state.step)}; checkpoint saved — "
+                  "restart with --resume", flush=True)
+            return state
         if truth_theta is not None and eng.fix_theta_value is None:
             # "truth_log_prob" q(theta*) diagnostic (lotka_volterra_partial.py:319)
             lp = eng.theta_flow.apply(
@@ -237,12 +245,20 @@ def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
                    eng.sample_series_paths(state.params, jax.random.key(2)))
     save_theta_txt(os.path.join(out_dir, "q_theta.txt"),
                    eng.sample_theta(state.params, jax.random.key(3), 100_000))
+    from viforssms_tpu.utils.preemption import PreemptionGuard
+
     ckpt = Checkpointer(os.path.join(out_dir, "ckpt"))
     with MetricWriter(os.path.join(out_dir, "metrics.jsonl")) as logger:
-        state, last = eng.fit_epochs(state, num_epochs=num_epochs,
-                                     pre_train_epochs=pre_train_epochs,
-                                     logger=logger, checkpointer=ckpt)
+        with PreemptionGuard() as guard:
+            state, last = eng.fit_epochs(state, num_epochs=num_epochs,
+                                         pre_train_epochs=pre_train_epochs,
+                                         logger=logger, checkpointer=ckpt,
+                                         should_stop=guard)
     ckpt.save(state)
+    if guard.triggered:
+        print(f"Preempted at step {int(state.step)}; checkpoint saved",
+              flush=True)
+        return state
     paths = eng.sample_series_paths(state.params, jax.random.key(4))
     np.save(os.path.join(out_dir, "lf_sample_val.npy"), paths)
     save_paths_txt(os.path.join(out_dir, "posterior_paths.txt"), paths)

@@ -142,16 +142,25 @@ def run_ar1(params, num_steps=2000, out_dir="out/ar1", dat_dir=None, seed=1):
     eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec,
                    theta_base_loc=1.5, theta_base_scale=0.5)  # AR.py:389
 
+    from viforssms_tpu.utils.preemption import PreemptionGuard
+
     state = eng.init(jax.random.key(seed))
     ckpt = Checkpointer(os.path.join(out_dir, "ckpt"))
     with MetricWriter(os.path.join(out_dir, "metrics.jsonl")) as logger:
         print("Pre-training...", flush=True)
         state = eng.pretrain(state, log_every=100, logger=logger)
         print("Training...", flush=True)
-        state, last = eng.fit(state, num_steps=num_steps, logger=logger,
-                              checkpointer=ckpt, scan_chunk=50)
-        print("Final metrics:", metrics_to_dict(last), flush=True)
+        with PreemptionGuard() as guard:
+            state, last = eng.fit(state, num_steps=num_steps, logger=logger,
+                                  checkpointer=ckpt, scan_chunk=50,
+                                  should_stop=guard)
+        if last is not None:
+            print("Final metrics:", metrics_to_dict(last), flush=True)
     ckpt.save(state)
+    if guard.triggered:
+        print(f"Preempted at step {int(state.step)}; checkpoint saved",
+              flush=True)
+        return state
 
     paths = eng.sample_posterior_paths(state.params, jax.random.key(seed + 1))
     save_paths_txt(os.path.join(out_dir, "AR_obs_paths.txt"), paths)

@@ -347,13 +347,20 @@ class VIEngine:
         return state
 
     def fit(self, state: TrainState, num_steps: int, logger=None, log_every: int = 50,
-            checkpointer=None, scan_chunk: int = 0):
+            checkpointer=None, scan_chunk: int = 0, should_stop=None):
         """Python-loop training; ``scan_chunk > 0`` dispatches chunks of that
-        many compiled steps at a time (one host round-trip per chunk)."""
+        many compiled steps at a time (one host round-trip per chunk).
+
+        ``should_stop``: optional zero-arg callable checked at every dispatch
+        boundary — the preemption hook (SURVEY.md §5 failure detection): a
+        SIGTERM handler sets a flag, training exits cleanly at the next
+        boundary, and the caller checkpoints the returned state."""
         last = None
         if scan_chunk > 0:
             done = 0
             while done < num_steps:
+                if should_stop is not None and should_stop():
+                    break
                 n = min(scan_chunk, num_steps - done)
                 state, ms = self.train_many(state, n)
                 last = jax.tree.map(lambda a: a[-1], ms)
@@ -366,6 +373,8 @@ class VIEngine:
                     checkpointer.save(state)
             return state, last
         for i in range(num_steps):
+            if should_stop is not None and should_stop():
+                break
             state, metrics = self.train_step(state)
             last = metrics
             if logger is not None and (i % log_every == 0 or i == num_steps - 1):
@@ -377,7 +386,8 @@ class VIEngine:
         return state, last
 
     def fit_epochs(self, state: TrainState, num_epochs: int, pre_train_epochs: int = 0,
-                   logger=None, checkpointer=None, checkpoint_every: int = 100):
+                   logger=None, checkpointer=None, checkpoint_every: int = 100,
+                   should_stop=None):
         """Epoch training over the series axis: each epoch iterates all series
         in deterministic batches of p (the tf.data loop of
         ``..._learn_theta.py:602-731``). Requires series-mode tables."""
@@ -390,6 +400,8 @@ class VIEngine:
         idx_mat = jnp.asarray(np.stack(batches))  # (B, p)
         last = None
         for epoch in range(num_epochs):
+            if should_stop is not None and should_stop():
+                break
             pre = epoch < pre_train_epochs
             rec = {"epoch": epoch, "pretrain": float(pre)}
             if pre:

@@ -3,7 +3,10 @@
 ``vis.py`` in the reference walks ~150 per-series TensorBoard event dirs with
 ``EventAccumulator``, aligns ELBO/elapsed-time curves, and exports ``.npy``
 aggregates (``vis.py:9-30,57-140``). Our runs emit JSONL (utils/metrics.py),
-so aggregation is a few array ops.
+so aggregation is a few array ops; runs that also wrote TensorBoard event
+files (``MetricWriter(tensorboard=True)``) are scraped with the
+dependency-free parser in utils/tensorboard.py — glob either
+``**/metrics.jsonl`` or ``**/events.out.tfevents.*``.
 """
 
 from __future__ import annotations
@@ -16,8 +19,22 @@ import numpy as np
 from viforssms_tpu.utils.metrics import read_metrics
 
 
+def _load_curve(path: str, metric: str):
+    """(steps, values) for one run file — JSONL or TB event file."""
+    if os.path.basename(path).startswith("events.out.tfevents"):
+        from viforssms_tpu.utils.tensorboard import read_events
+
+        recs = [(e["step"], e["scalars"][metric]) for e in read_events(path)
+                if metric in e.get("scalars", {})]
+    else:
+        recs = [(r["step"], r[metric]) for r in read_metrics(path)
+                if metric in r]
+    return recs
+
+
 def aggregate_runs(run_glob: str, metric: str = "ELBO"):
-    """Collect ``metric`` curves from every metrics.jsonl matching ``run_glob``.
+    """Collect ``metric`` curves from every run file matching ``run_glob``
+    (metrics.jsonl or events.out.tfevents.*).
 
     Returns (steps (T,), values (num_runs, T)) truncated to the shortest run —
     the alignment behavior of ``vis.py:85-122``.
@@ -25,11 +42,11 @@ def aggregate_runs(run_glob: str, metric: str = "ELBO"):
     curves = []
     steps = []
     for path in sorted(glob.glob(run_glob)):
-        recs = [r for r in read_metrics(path) if metric in r]
+        recs = _load_curve(path, metric)
         if not recs:
             continue
-        steps.append(np.array([r["step"] for r in recs]))
-        curves.append(np.array([r[metric] for r in recs]))
+        steps.append(np.array([s for s, _ in recs]))
+        curves.append(np.array([v for _, v in recs]))
     if not curves:
         return np.zeros(0), np.zeros((0, 0))
     T = min(len(c) for c in curves)
