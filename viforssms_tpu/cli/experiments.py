@@ -25,7 +25,7 @@ import numpy as np
 
 
 def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=None,
-            resume=False):
+            resume=False, export_rows=8192, skip_prior_dump=False):
     import jax
 
     from viforssms_tpu.data.io import save_paths_txt, save_theta_txt
@@ -45,9 +45,10 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
         print(f"Resuming from step {int(restored.step)}", flush=True)
         state = restored
         pretrain, finite_gate = 0, None
-    else:
+    elif not skip_prior_dump:
         # prior-predictive dump (lotka_volterra_partial.py:526)
-        paths0 = eng.sample_posterior_paths(state.params, jax.random.key(seed + 10))
+        paths0 = eng.sample_posterior_paths(state.params, jax.random.key(seed + 10),
+                                            max_rows=export_rows)
         save_paths_txt(os.path.join(out_dir, "prior_paths.txt"), paths0)
 
     with MetricWriter(os.path.join(out_dir, "metrics.jsonl")) as logger:
@@ -80,7 +81,8 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
                 logger.write_histogram(int(state.step), f"theta_{d}", th[:, d])
     ckpt.save(state)
 
-    paths = eng.sample_posterior_paths(state.params, jax.random.key(seed + 11))
+    paths = eng.sample_posterior_paths(state.params, jax.random.key(seed + 11),
+                                       max_rows=export_rows)
     save_paths_txt(os.path.join(out_dir, "posterior_paths.txt"), paths)
     if eng.fix_theta_value is None:
         theta = eng.sample_theta(state.params, jax.random.key(seed + 12), 100_000)
@@ -152,7 +154,8 @@ def run_sv_dense(sv_file="dat/SV.dat", out_dir="out/sv_dense", steps=20_000,
 
 
 def run_fitz_nag(dat_dir="dat", out_dir="out/fitz_nag", steps=20_000,
-                 synthetic=False, T=100.0, pretrain_gate=1000, resume=False):
+                 synthetic=False, T=100.0, pretrain_gate=1000, resume=False,
+                 export_rows=8192):
     """FitzHugh-Nagumo partial obs (fitz_nag_NVP.py:451-518)."""
     from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
     from viforssms_tpu.data.features import lv_tables
@@ -185,8 +188,12 @@ def run_fitz_nag(dat_dir="dat", out_dir="out/fitz_nag", steps=20_000,
                              context_flag_in_pad=True, time_till_end=-dt)
     eng = VIEngine(model=FitzHughNagumo(dt=dt), cfg=cfg, tables=tables, spec=spec,
                    use_norm=True)
+    # very long series: skip the prior-predictive dump (it costs a full
+    # all-windows pass before training) and bound the export program size
+    long_series = target > 200_000
     return _common(out_dir, eng, steps, pretrain=None, finite_gate=pretrain_gate,
-                   resume=resume)
+                   resume=resume, export_rows=export_rows,
+                   skip_prior_dump=long_series)
 
 
 def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
@@ -382,6 +389,8 @@ def main(argv=None):
     fn.add_argument("--T", type=float, default=100.0)
     fn.add_argument("--pretrain-gate", type=int, default=1000)
     fn.add_argument("--resume", action="store_true")
+    fn.add_argument("--export-rows", type=int, default=8192,
+                    help="Max rows per path-export dispatch (smaller for very long series)")
 
     lt = sub.add_parser("lv-learn-theta")
     lt.add_argument("--dat-dir", default="dat/scratch")
@@ -403,7 +412,8 @@ def main(argv=None):
                      resume=args.resume)
     elif args.cmd == "fitz-nag":
         run_fitz_nag(args.dat_dir, args.out, args.steps, args.synthetic, args.T,
-                     args.pretrain_gate, resume=args.resume)
+                     args.pretrain_gate, resume=args.resume,
+                     export_rows=args.export_rows)
     elif args.cmd == "lv-learn-theta":
         run_lv_learn_theta(args.dat_dir, args.out, args.epochs,
                            args.pre_train_epochs, args.synthetic,

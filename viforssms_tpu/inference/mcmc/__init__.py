@@ -1,10 +1,14 @@
+from viforssms_tpu.inference.mcmc.diagnostics import ess, split_rhat, summarize
 from viforssms_tpu.inference.mcmc.hmc import DualAveragingState, hmc_sample
 from viforssms_tpu.inference.mcmc.nuts import nuts_sample
 from viforssms_tpu.inference.mcmc.nuts_iterative import nuts_sample_iterative
 
 __all__ = [
     "DualAveragingState",
+    "ess",
     "hmc_sample",
     "nuts_sample",
     "nuts_sample_iterative",
+    "split_rhat",
+    "summarize",
 ]
