@@ -7,8 +7,12 @@ this machine it runs over the virtual CPU device mesh (pass
 which validates the machinery — virtual devices share physical cores, so CPU
 "efficiency" is not a hardware statement.
 
-Prints one JSON line per mesh size:
-  {"devices": n, "samples_per_sec": r, "efficiency_vs_1": e}
+Prints one JSON line per mesh size for each of two sharding regimes:
+  particle DP:       {"axis": "particles", "devices": n, "samples_per_sec": r, ...}
+  sequence sharding: {"axis": "sequence", "devices": n, "steps_per_sec": r, ...}
+    (full-path ELBO training, time axis sharded with halo exchange —
+     inference/vi/sequence_train.py; fixed total path length = weak scaling
+     of the per-device chunk)
 """
 
 from __future__ import annotations
@@ -46,6 +50,54 @@ def measure(n_devices: int, p_per_device: int = 16, chunk: int = 10):
     return steps_per_sec * eng.cfg.p  # ELBO samples (particles) per second
 
 
+def measure_sequence(n_devices: int, T_total: int = 512, p: int = 8,
+                     steps: int = 5):
+    """Full-path sequence-sharded training throughput at fixed total length."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from viforssms_tpu.flows.nma import NMAFlowStack
+    from viforssms_tpu.inference.vi.adamax import clipped_adamax
+    from viforssms_tpu.inference.vi.sequence_train import (
+        SeqTrainState,
+        make_sequence_train_step,
+    )
+    from viforssms_tpu.models.lotka_volterra import LotkaVolterra
+    from viforssms_tpu.parallel.mesh import make_mesh
+
+    small = os.environ.get("VIFORSSMS_PLATFORM") == "cpu"
+    d, F = 2, 6
+    L = d * T_total
+    flow = NMAFlowStack(network_dims=(16, 16, 16) if small else (50,) * 5,
+                        kernel_len=20, no_flows=3, batch_dims=T_total,
+                        flow_dims=d, use_norm=True, aligned_feats=True)
+    ctx = flow.no_flows * flow.kernel_len
+    params = flow.init(jax.random.key(0), jnp.zeros((p, L + ctx)),
+                       jnp.zeros((p, L + ctx, F)), jnp.zeros((p, 3)))
+    feats = 0.1 * jax.random.normal(jax.random.key(1), (p, L, F))
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(3.0, 0.5, (p, 2, T_total)).astype(np.float32))
+    m = jnp.asarray((rng.random((p, 2, T_total)) < 0.1).astype(np.float32))
+    mesh = make_mesh((n_devices,), ("sequence",))
+    opt = clipped_adamax(learning_rate=1e-3, grad_clip=1e9)
+    step = make_sequence_train_step(
+        model=LotkaVolterra(dt=0.1, prior_scale=(0.3,) * 3), flow=flow,
+        opt=opt, mesh=mesh, x0=(3.0, 2.0),
+        fix_theta_value=np.log([0.5, 0.0025, 0.3]).astype(np.float32))
+    st = SeqTrainState({"flow": params}, opt.init({"flow": params}),
+                       jax.random.key(2), jnp.zeros((), jnp.int32))
+    st, loss, _ = step(st, feats, y, m)   # compile
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        st, loss, _ = step(st, feats, y, m)
+    jax.block_until_ready(loss)
+    return steps / (time.perf_counter() - t0)
+
+
 def main():
     from viforssms_tpu.core.platform import apply_platform_env
 
@@ -64,9 +116,23 @@ def main():
         if base is None:
             base = r
         print(json.dumps({
+            "axis": "particles",
             "devices": s,
             "samples_per_sec": round(r, 1),
             "efficiency_vs_1": round(r / (base * s), 3),
+        }), flush=True)
+    base = None
+    for s in sizes:
+        r = measure_sequence(s)
+        if base is None:
+            base = r
+        print(json.dumps({
+            "axis": "sequence",
+            "devices": s,
+            "steps_per_sec": round(r, 2),
+            # fixed total length: ideal scaling is constant work/step spread
+            # over s devices -> speedup_vs_1 ~ s on real hardware
+            "speedup_vs_1": round(r / base, 2),
         }), flush=True)
 
 
