@@ -89,6 +89,34 @@ def test_dense_mass_handles_correlated_target():
     assert float(np.mean(np.asarray(diag["accept"]))) > 0.6
 
 
+def test_dense_mass_iterative_nuts_correlated_target():
+    """The iterative NUTS with a dense metric on the rho=0.95 Gaussian: the
+    velocity-based U-turn test runs through Σp and the sampler must learn the
+    full covariance and recover the moments (parity with hmc dense_mass)."""
+    cov = np.array([[1.0, 0.95], [0.95, 1.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mu = jnp.array([1.0, -2.0])
+
+    def logp(q):
+        d = q - mu
+        return -0.5 * d @ prec @ d
+
+    init = jax.random.normal(jax.random.key(0), (8, 2))
+    samples, diag = nuts_sample_iterative(
+        logp, init, jax.random.key(1), num_samples=600, num_warmup=600,
+        step_size=0.2, max_depth=8, dense_mass=True,
+    )
+    chol = np.asarray(diag["inv_mass"])
+    assert chol.shape == (2, 2)
+    sigma_hat = chol @ chol.T
+    np.testing.assert_allclose(sigma_hat, cov, atol=0.35)
+    assert sigma_hat[0, 1] > 0.5
+    draws = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(draws.mean(0), np.asarray(mu), atol=0.15)
+    np.testing.assert_allclose(np.cov(draws.T), cov, atol=0.35)
+    assert float(np.mean(np.asarray(diag["accept"]))) > 0.6
+
+
 def test_welford_covariance_matches_numpy():
     from viforssms_tpu.inference.mcmc.hmc import (
         welford_cov_init,

@@ -15,7 +15,10 @@ samplers cross-validate on Gaussian targets in tests/test_mcmc_iterative.py.
 
 With ``adapt_mass=True`` a diagonal metric is adapted during warmup (same
 two-phase Welford scheme as hmc.py); the U-turn criterion then uses
-velocities ``M^{-1} p`` as in Stan.
+velocities ``M^{-1} p`` as in Stan. ``dense_mass=True`` adapts the FULL
+posterior covariance as the inverse metric (momenta drawn through its
+Cholesky factor, velocities ``Σ p``), removing posterior correlations from
+the conditioning — the same metric contract as ``hmc_sample(dense_mass=True)``.
 """
 
 from __future__ import annotations
@@ -26,8 +29,12 @@ import jax
 import jax.numpy as jnp
 
 from viforssms_tpu.inference.mcmc.hmc import (
+    _metric_fns,
     da_init,
     da_update,
+    welford_cov_init,
+    welford_cov_update_batch,
+    welford_covariance,
     welford_init,
     welford_update_batch,
     welford_variance,
@@ -57,18 +64,22 @@ def nuts_sample_iterative(
     max_depth: int = 10,
     target_accept: float = 0.8,
     adapt_mass: bool = False,
+    dense_mass: bool = False,
 ):
     grad_fn = jax.grad(log_prob_fn)
     dim = init_q.shape[-1]
+    adapt_mass = adapt_mass or dense_mass
 
     def leapfrog(z: _Z, eps, inv_mass):
+        _, _, velocity = _metric_fns(inv_mass)
         p = z.p + 0.5 * eps * grad_fn(z.q)
-        q = z.q + eps * p * inv_mass
+        q = z.q + eps * velocity(p)
         p = p + 0.5 * eps * grad_fn(q)
         return _Z(q, p)
 
     def hamiltonian(z: _Z, inv_mass):
-        return log_prob_fn(z.q) - 0.5 * jnp.sum(z.p * z.p * inv_mass)
+        _, kinetic, _ = _metric_fns(inv_mass)
+        return log_prob_fn(z.q) - kinetic(z.p)
 
     def build_subtree(key, z_edge: _Z, v, depth, eps, log_u, h0, inv_mass):
         """Generate 2^depth leaves from z_edge in direction v, iteratively."""
@@ -105,10 +116,11 @@ def nuts_sample_iterative(
             idx_max = pc - 1
 
             def check(s, turning):
+                _, _, velocity = _metric_fns(inv_mass)
                 active = (s >= idx_min) & (s <= idx_max) & ~is_even
                 dq = v * (z.q - q_ck[s])
-                turn_s = (jnp.dot(dq, p_ck[s] * inv_mass) < 0.0) | (
-                    jnp.dot(dq, z.p * inv_mass) < 0.0)
+                turn_s = (jnp.dot(dq, velocity(p_ck[s])) < 0.0) | (
+                    jnp.dot(dq, velocity(z.p)) < 0.0)
                 return turning | (active & turn_s)
 
             turning = jax.lax.fori_loop(0, max_depth + 1, lambda s, tn: check(s, tn),
@@ -128,8 +140,9 @@ def nuts_sample_iterative(
         return z_first, z_last, prop, n, ok, a_sum, a_cnt
 
     def transition(q, key, eps, inv_mass):
+        sample_p, _, _ = _metric_fns(inv_mass)
         k_mom, k_slice, k_loop = jax.random.split(key, 3)
-        p0 = jax.random.normal(k_mom, q.shape) * jax.lax.rsqrt(inv_mass)
+        p0 = sample_p(k_mom, q.shape)
         z0 = _Z(q, p0)
         h0 = hamiltonian(z0, inv_mass)
         log_u = h0 + jnp.log(jax.random.uniform(k_slice, ()))
@@ -153,9 +166,10 @@ def nuts_sample_iterative(
             z_minus = jax.tree.map(lambda a, b: jnp.where(v < 0, a, b), t_last, z_minus)
             z_plus = jax.tree.map(lambda a, b: jnp.where(v > 0, a, b), t_last, z_plus)
             n = n + t_n
+            _, _, velocity = _metric_fns(inv_mass)
             dq = z_plus.q - z_minus.q
-            no_uturn = (jnp.dot(dq, z_minus.p * inv_mass) >= 0.0) & (
-                jnp.dot(dq, z_plus.p * inv_mass) >= 0.0)
+            no_uturn = (jnp.dot(dq, velocity(z_minus.p)) >= 0.0) & (
+                jnp.dot(dq, velocity(z_plus.p)) >= 0.0)
             s = s & t_ok & no_uturn
             return (depth + 1, s, z_minus, z_plus, prop, n, k,
                     a_sum + t_asum, a_cnt + t_acnt)
@@ -170,6 +184,13 @@ def nuts_sample_iterative(
     v_transition = jax.vmap(transition, in_axes=(0, 0, None, None))
     n_chains = init_q.shape[0]
 
+    if dense_mass:
+        w_init = lambda: welford_cov_init(dim)
+        w_update = welford_cov_update_batch
+    else:
+        w_init = lambda: welford_init(dim)
+        w_update = welford_update_batch
+
     def warmup_phase(key, q, da, inv_mass, num_steps, collect_from):
         def step(carry, inp):
             t, key = inp
@@ -177,14 +198,14 @@ def nuts_sample_iterative(
             q, acc = v_transition(q, jax.random.split(key, n_chains),
                                   jnp.exp(da.log_step), inv_mass)
             da = da_update(da, jnp.mean(acc), target=target_accept)
-            w_new = welford_update_batch(w, q)
+            w_new = w_update(w, q)
             w = jax.tree.map(
                 lambda a, b: jnp.where(t >= collect_from, a, b), w_new, w)
             return (q, da, w), jnp.mean(acc)
 
         keys = jax.random.split(key, num_steps)
         (q, da, w), acc = jax.lax.scan(
-            step, (q, da, welford_init(dim)), (jnp.arange(num_steps), keys))
+            step, (q, da, w_init()), (jnp.arange(num_steps), keys))
         return q, da, w, acc
 
     k_warm, k_warm2, k_samp = jax.random.split(key, 3)
@@ -193,7 +214,11 @@ def nuts_sample_iterative(
         n1 = num_warmup // 2
         q, da, w, acc1 = warmup_phase(
             k_warm, init_q, da_init(step_size), inv_mass, n1, n1 // 4)
-        inv_mass = welford_variance(w).astype(init_q.dtype)
+        if dense_mass:
+            cov = welford_covariance(w).astype(init_q.dtype)
+            inv_mass = jnp.linalg.cholesky(cov)  # Σ = L Lᵀ (inverse metric)
+        else:
+            inv_mass = welford_variance(w).astype(init_q.dtype)
         q, da, _, acc2 = warmup_phase(
             k_warm2, q, da_init(float(step_size)), inv_mass,
             num_warmup - n1, num_warmup)
