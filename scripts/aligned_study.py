@@ -25,7 +25,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_mode(aligned: bool, steps: int, seed: int = 1):
+def run_mode(aligned: bool, steps: int, seed: int = 1, anchor: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +58,9 @@ def run_mode(aligned: bool, steps: int, seed: int = 1):
     tables, spec = lv_tables(obs, obs_bin, tt, kernel_len, no_flows, fw,
                              batch_dims, x0=x0, dt=dt)
     model = LotkaVolterra(dt=dt, prior_mean=tuple(np.log(truth)),
-                          prior_scale=(0.3,) * 3, jitter=1e-3)
+                          prior_scale=(0.3,) * 3, jitter=1e-3,
+                          pretrain_theta_anchor=tuple(np.log(truth)) if anchor
+                          else None)
     eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True)
 
     state = eng.init(jax.random.key(seed))
@@ -95,10 +97,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20_000)
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--theta-anchor", action="store_true",
+                    help="pre-train with the reference's t2 theta regression")
     args = ap.parse_args()
     results = []
     for aligned in (False, True):
-        r = run_mode(aligned, args.steps, args.seed)
+        r = run_mode(aligned, args.steps, args.seed, anchor=args.theta_anchor)
         print(json.dumps(r), flush=True)
         results.append(r)
     t, a = results

@@ -74,3 +74,29 @@ def test_fhn_trains_finite():
     assert float(m1.elbo) > float(m0.elbo)
     th = eng.sample_theta(state.params, jax.random.key(5), 64)
     assert th.shape == (64, 5) and np.all(np.isfinite(th))
+
+
+def test_pretrain_theta_anchor_pulls_posterior():
+    """The pre-train theta regression (SV_dense.py:253-254,333; fitz_nag_NVP.py:
+    291-292,373) must pull q(theta)'s mean toward the anchor values."""
+    obs = _simulate_sv(n=120)
+    cfg = VIConfig(
+        p=8, batch_dims=20, T=len(obs) - 1,
+        flow=FlowConfig(kernel_len=10, no_flows=2, network_dims=(8, 8, 8), feat_window=3),
+        train=TrainConfig(learn_rate=1e-3, grad_clip=1e7, pre_train_lr=1e-2),
+        theta_num_bijectors=2,
+    )
+    tables, spec = sv_tables(obs, 10, 2, 3, 20, x0=-8.5)
+    model = StochasticVolatility(dt=1.0)
+    eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True)
+    state = eng.init(jax.random.key(0))
+    anchor = np.asarray(model.pretrain_theta_anchor)
+    th0 = eng.sample_theta(state.params, jax.random.key(1), 256).mean(0)
+    state = eng.pretrain(state, num_steps=1000)
+    th1 = eng.sample_theta(state.params, jax.random.key(2), 256).mean(0)
+    d0 = np.abs(th0 - anchor)
+    d1 = np.abs(th1 - anchor)
+    assert np.all(np.isfinite(th1))
+    # every coordinate moves toward the anchor, substantially
+    assert np.all(d1 < d0), (th0, th1, anchor)
+    assert np.all(d1 < 0.6 * d0 + 0.05), (th1, anchor)

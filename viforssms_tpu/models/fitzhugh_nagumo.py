@@ -26,6 +26,11 @@ class FitzHughNagumo(SSM):
     prior_mean: Tuple[float, ...] = (0.0,) * 5
     prior_scale: Tuple[float, ...] = (10.0,) * 5
     pretrain_target: float = 0.0
+    # theta anchor the reference's t2 op regresses q(theta) toward during
+    # pre-train (fitz_nag_NVP.py:291-292, run at :373)
+    pretrain_theta_anchor: Tuple[float, ...] = (
+        0.6931471805599453, 1.0, 1.5, -0.6931471805599453,
+        -1.2039728043259361)  # (log 2, 1, 1.5, log .5, log .3)
 
     flow_dims = 2
     theta_dim = 5
@@ -56,5 +61,9 @@ class FitzHughNagumo(SSM):
         return jnp.sum(normal_logpdf(theta, mean, scale), axis=-1)
 
     def pretrain_loss(self, x, theta, y, obs_mask):
-        del theta, y, obs_mask
-        return jnp.mean((x - self.pretrain_target) ** 2)
+        # path regression to 0 (t1) + theta regression to the reference's
+        # anchor (t2) — both ops run each pre-train step (fitz_nag_NVP.py:373)
+        del y, obs_mask
+        anchor = jnp.asarray(self.pretrain_theta_anchor, theta.dtype)
+        return (jnp.mean((x - self.pretrain_target) ** 2)
+                + jnp.mean((theta - anchor) ** 2))

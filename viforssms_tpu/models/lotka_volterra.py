@@ -64,6 +64,13 @@ class LotkaVolterra(SSM):
     prior_scale: Tuple[float, ...] = (1e-4, 1e-4, 1e-4)
     jitter: float = 0.0
     pretrain_target: float = 75.0
+    # Optional theta anchor for pre-training, in log-rate space. The reference
+    # BUILDS this op (t2 -> log([.5, .0025, .3]), lotka_volterra_partial.py:
+    # 304-305) but its LV loop only runs t1, so None (off) is the parity
+    # default; enabling it pins q(theta) near the anchor during pre-train,
+    # which rescues runs whose loose-prior ELBO otherwise converges to a
+    # rates-inflated local mode (docs/RESULTS.md aligned-mode study).
+    pretrain_theta_anchor: Tuple[float, ...] | None = None
 
     flow_dims = 2
     theta_dim = 3
@@ -124,8 +131,12 @@ class LotkaVolterra(SSM):
         return x, log_det
 
     def pretrain_loss(self, x, theta, y, obs_mask):
-        del theta, y, obs_mask
-        return jnp.mean((x - self.pretrain_target) ** 2)
+        del y, obs_mask
+        loss = jnp.mean((x - self.pretrain_target) ** 2)
+        if self.pretrain_theta_anchor is not None:
+            anchor = jnp.asarray(self.pretrain_theta_anchor, theta.dtype)
+            loss = loss + jnp.mean((theta - anchor) ** 2)
+        return loss
 
 
 # the positive-path transform f(u) = softplus(u - 1) + 1 (..._learn_theta.py:405-408)
@@ -144,6 +155,9 @@ class LotkaVolterraLearnTheta(SSM):
     x0_std: Tuple[float, float] = (1.0, 1.0)
     jitter: float = 1e-3  # chol diagonal jitter (..._learn_theta.py:52-53)
     pretrain_target: float = 75.0
+    # Optional pre-train anchor in POSITIVE rate space (the terminal variant's
+    # t2 op is commented out, ..._learn_theta.py:488-489, so None is parity)
+    pretrain_theta_anchor: Tuple[float, ...] | None = None
 
     flow_dims = 2
     theta_dim = 3
@@ -210,5 +224,9 @@ class LotkaVolterraLearnTheta(SSM):
         return x, log_det
 
     def pretrain_loss(self, x, theta, y, obs_mask):
-        del theta, y, obs_mask
-        return jnp.mean((x - self.pretrain_target) ** 2)
+        del y, obs_mask
+        loss = jnp.mean((x - self.pretrain_target) ** 2)
+        if self.pretrain_theta_anchor is not None:
+            anchor = jnp.asarray(self.pretrain_theta_anchor, theta.dtype)
+            loss = loss + jnp.mean((theta - anchor) ** 2)
+        return loss

@@ -27,6 +27,10 @@ class StochasticVolatility(SSM):
     prior_mean: Tuple[float, ...] = (0.0,) * 4
     prior_scale: Tuple[float, ...] = (10.0,) * 4
     pretrain_target: float = -7.0
+    # theta anchor the reference's param_init op regresses q(theta) toward
+    # during pre-train (SV_dense.py:253-254, run at :333)
+    pretrain_theta_anchor: Tuple[float, ...] = (
+        0.001, -0.6, -2.5257286443082556, -0.6931471805599453)  # (.001, -.6, log .08, log .5)
 
     flow_dims = 1  # only the latent log-vol is sampled
     theta_dim = 4
@@ -64,6 +68,10 @@ class StochasticVolatility(SSM):
         return jnp.sum(normal_logpdf(theta, mean, scale), axis=-1)
 
     def pretrain_loss(self, x, theta, y, obs_mask):
-        # (x + 7)^2 pulls log-vol into a sane region (SV_dense.py:251-252)
-        del theta, y, obs_mask
-        return jnp.mean((x - self.pretrain_target) ** 2)
+        # (x + 7)^2 pulls log-vol into a sane region (SV_dense.py:251-252);
+        # theta is simultaneously regressed to the reference's anchor values
+        # (param_init, SV_dense.py:253-254, run alongside at :333)
+        del y, obs_mask
+        anchor = jnp.asarray(self.pretrain_theta_anchor, theta.dtype)
+        return (jnp.mean((x - self.pretrain_target) ** 2)
+                + jnp.mean((theta - anchor) ** 2))
