@@ -114,3 +114,37 @@ def test_sv_tables_shapes():
     np.testing.assert_allclose(
         float(tables.feat[(nf + 1) * K, fw + 1]), float(np.var(obs[0:K])), rtol=1e-4
     )
+
+
+def test_stacked_gather_matches_dynamic_gather():
+    """stack_windows + make_stacked_gather must reproduce gather_windows
+    exactly for every aligned start (the train step's fast path)."""
+    import jax
+
+    from viforssms_tpu.data.features import (
+        gather_windows,
+        lv_tables,
+        make_stacked_gather,
+        stack_windows,
+        stacked_window_bytes,
+    )
+
+    rng = np.random.default_rng(0)
+    T = 60
+    obs = np.abs(rng.normal(50, 5, (2, T + 1))).astype(np.float32)
+    obs_bin = (rng.random((2, T + 1)) < 0.3).astype(np.float32)
+    tt = rng.random((2, T + 1)).astype(np.float32)
+    tables, spec = lv_tables(obs, obs_bin, tt, 4, 3, 3, 10, x0=(50.0, 50.0), dt=0.1)
+
+    stacked = stack_windows(tables, spec)
+    gather = make_stacked_gather(stacked, spec.batch_dims)
+    starts = jnp.asarray([0, 10, 50, 30, 30, 0], jnp.int32)
+    got = gather(tables, spec, starts)
+    want = gather_windows(tables, spec, starts)
+    for g, w in zip(got, want):
+        assert (g is None) == (w is None)
+        if g is not None:
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    assert stacked_window_bytes(tables, spec) == sum(
+        4 * int(np.prod(a.shape[1:])) for a in stacked if a is not None
+    ) * spec.num_windows
