@@ -148,3 +148,44 @@ def test_stacked_gather_matches_dynamic_gather():
     assert stacked_window_bytes(tables, spec) == sum(
         4 * int(np.prod(a.shape[1:])) for a in stacked if a is not None
     ) * spec.num_windows
+
+
+def test_engine_table_swap_refreshes_stacked_windows():
+    """run_series_sweep hot-swaps eng.tables between same-shape series; the
+    precomputed window stack must follow (it is passed into the compiled step
+    as data, so results must match a fresh engine on the new tables)."""
+    import jax
+
+    from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
+    from viforssms_tpu.inference.vi.train import VIEngine
+    from viforssms_tpu.models.lotka_volterra import LotkaVolterra
+
+    def make_tables(seed):
+        rng = np.random.default_rng(seed)
+        T = 40
+        obs = np.abs(rng.normal(50, 5, (2, T + 1))).astype(np.float32)
+        obs_bin = (rng.random((2, T + 1)) < 0.4).astype(np.float32)
+        tt = rng.random((2, T + 1)).astype(np.float32)
+        return lv_tables(obs, obs_bin, tt, 4, 2, 3, 10, x0=(50.0, 50.0), dt=0.1)
+
+    cfg = VIConfig(
+        p=4, batch_dims=10, T=40,
+        flow=FlowConfig(kernel_len=4, no_flows=2, network_dims=(8, 8, 8),
+                        feat_window=3, flow_dims=2),
+        train=TrainConfig(learn_rate=1e-3, grad_clip=1e9),
+        theta_num_bijectors=2,
+    )
+    ta, spec = make_tables(1)
+    tb, _ = make_tables(2)
+    model = LotkaVolterra(dt=0.1, prior_scale=(0.3,) * 3)
+    eng = VIEngine(model=model, cfg=cfg, tables=ta, spec=spec, use_norm=True)
+    assert eng._stacked is not None
+    state = eng.init(jax.random.key(0))
+    starts = jnp.zeros((4,), jnp.int32)
+    t_a = eng.eval_terms(state.params, jax.random.key(1), starts)
+    eng.tables = tb  # hot swap
+    t_b = eng.eval_terms(state.params, jax.random.key(1), starts)
+    fresh = VIEngine(model=model, cfg=cfg, tables=tb, spec=spec, use_norm=True)
+    t_fresh = fresh.eval_terms(state.params, jax.random.key(1), starts)
+    assert not np.allclose(np.asarray(t_a.elbo), np.asarray(t_b.elbo))
+    np.testing.assert_allclose(np.asarray(t_b.elbo), np.asarray(t_fresh.elbo), rtol=1e-6)

@@ -85,3 +85,38 @@ def test_transform_path_log_det_matches_autodiff():
     want = -jnp.sum(fldj[:, :, 1:], axis=(1, 2))
     np.testing.assert_allclose(np.asarray(log_det), np.asarray(want), rtol=1e-3,
                                atol=1e-3)
+
+
+def test_learn_obs_scale_density_and_prior():
+    """4-param variant (lotka_volterra_latest.py): the obs term must equal the
+    terminal variant's with factor theta[-1] substituted for 0.2, and the
+    prior must be a PLAIN Gaussian in positive space (:342-346)."""
+    from viforssms_tpu.models.lotka_volterra import LotkaVolterraLearnObsScale
+
+    m4 = LotkaVolterraLearnObsScale()
+    assert m4.theta_dim == 4
+    x = jnp.full((3, 2, 4), 3.0)
+    y = jnp.full((3, 2, 3), 3.4)
+    mask = jnp.ones((3, 2, 3))
+    fac = jnp.asarray([0.1, 0.2, 0.55])
+    theta4 = jnp.concatenate(
+        [jnp.tile(jnp.asarray([[0.5, 0.0025, 0.3]]), (3, 1)), fac[:, None]], axis=1)
+    got = m4.observation_log_prob(x, y, mask, theta4)
+    for i, f in enumerate(np.asarray(fac)):
+        ref = LotkaVolterraLearnTheta(obs_noise_factor=float(f))
+        want = ref.observation_log_prob(x[i : i + 1], y[i : i + 1], mask[i : i + 1], None)
+        np.testing.assert_allclose(float(got[i]), float(want[0]), rtol=1e-5)
+    # unobserved steps contribute nothing
+    got0 = m4.observation_log_prob(x, y, jnp.zeros_like(mask), theta4)
+    np.testing.assert_allclose(np.asarray(got0), 0.0, atol=1e-6)
+    # prior: plain MVNDiag over positive theta
+    lp = m4.log_prior(theta4)
+    want = stats.norm.logpdf(
+        np.asarray(theta4), np.asarray(m4.prior_mean), np.asarray(m4.prior_sigma)
+    ).sum(-1)
+    np.testing.assert_allclose(np.asarray(lp), want, rtol=1e-4)
+    # transition ignores the 4th column
+    xr = jnp.abs(jax.random.normal(jax.random.key(0), (3, 2, 6))) + 2.0
+    t3 = m4.transition_log_prob(xr, theta4[:, :4])
+    ref3 = LotkaVolterraLearnTheta().transition_log_prob(xr, theta4[:, :3])
+    np.testing.assert_allclose(np.asarray(t3), np.asarray(ref3), rtol=1e-5)

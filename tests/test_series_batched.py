@@ -61,3 +61,29 @@ def test_series_epoch_training():
     paths = eng.sample_series_paths(state.params, jax.random.key(1))
     assert paths.shape == (num_series, 2, target)
     assert np.all(paths > 1.0)
+
+
+def test_series_epoch_training_learned_obs_scale():
+    """4-param variant (lotka_volterra_latest.py): learned obs-noise factor
+    trains end-to-end; q(theta) has 4 positive coordinates."""
+    from viforssms_tpu.models.lotka_volterra import LotkaVolterraLearnObsScale
+
+    num_series, target = 8, 20
+    obs, obs_bin, tt = _multi_series(num_series=num_series, target=target)
+    tables, spec = series_tables(obs, obs_bin, tt, num_series, kernel_len=4,
+                                 no_flows=3, feat_window=3, x0=(91.0, 99.0), dt=0.2)
+    cfg = VIConfig(
+        p=4, batch_dims=target, T=target,
+        flow=FlowConfig(kernel_len=4, no_flows=3, network_dims=(16, 16, 16),
+                        feat_window=3, flow_dims=2, mu_softplus=True),
+        train=TrainConfig(learn_rate=1e-3, grad_clip=1e9, nan_mask_loss=True),
+        theta_num_bijectors=3, theta_softplus=True,
+    )
+    model = LotkaVolterraLearnObsScale(dt=0.2, x0_mean=(91.0, 99.0), x0_std=(1.0, 1.0))
+    eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True)
+    state = eng.init(jax.random.key(0))
+    state, last = eng.fit_epochs(state, num_epochs=6, pre_train_epochs=2)
+    assert last is not None and np.isfinite(float(last.elbo))
+    th = eng.sample_theta(state.params, jax.random.key(2), 128)
+    assert th.shape == (128, 4)
+    assert np.all(th > 0) and np.all(np.isfinite(th))

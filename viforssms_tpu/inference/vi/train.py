@@ -109,22 +109,30 @@ class VIEngine:
         self.num_series = int(self.tables.feat.shape[0]) if self.series_mode else 0
         # with-replacement iff windows don't cover p draws (AR.py:257-260)
         self.replace = cfg.batch_dims * cfg.p >= self.spec.target_dims
-        self._gather_fn = None
-        if not self.series_mode:
-            from viforssms_tpu.data.features import (
-                make_stacked_gather,
-                stack_windows,
-                stacked_window_bytes,
-            )
+        use = self.stack_windows and not self.series_mode
+        if use and self.stack_windows == "auto":
+            from viforssms_tpu.data.features import stacked_window_bytes
 
-            use = self.stack_windows
-            if use == "auto":
-                use = stacked_window_bytes(self.tables, self.spec) <= self.stack_windows_max_bytes
-            if use:
-                self._gather_fn = make_stacked_gather(
-                    stack_windows(self.tables, self.spec), cfg.batch_dims
-                )
+            use = stacked_window_bytes(self.tables, self.spec) <= self.stack_windows_max_bytes
+        self._use_stacked = bool(use)
+        self._stacked = self._make_stacked()
         self._build_steps()
+        self._init_done = True
+
+    def _make_stacked(self):
+        if not getattr(self, "_use_stacked", False):
+            return None
+        from viforssms_tpu.data.features import stack_windows
+
+        return tuple(stack_windows(self.tables, self.spec))
+
+    def __setattr__(self, name, value):
+        object.__setattr__(self, name, value)
+        # hot-swapping tables (run_series_sweep reuses one engine across
+        # same-shape series) must refresh the precomputed window stack, which
+        # is passed into the compiled step as data (no recompilation)
+        if name == "tables" and getattr(self, "_init_done", False):
+            object.__setattr__(self, "_stacked", self._make_stacked())
 
     # ---- parameter init ----
     def init(self, key) -> TrainState:
@@ -145,7 +153,7 @@ class VIEngine:
         )
 
     # ---- core losses ----
-    def _terms(self, params, key, starts, tables=None):
+    def _terms(self, params, key, starts, tables=None, stacked=None):
         tables = self.tables if tables is None else tables
         def flow_apply(z, feats, theta):
             return self.flow.apply(params["flow"], z, feats, theta)
@@ -162,7 +170,11 @@ class VIEngine:
             from viforssms_tpu.parallel.mesh import shard_leading
 
             shard_fn = lambda tree: shard_leading(self.mesh, tree, self.particle_axis)
-        gather_fn = self._gather_fn
+        gather_fn = None
+        if stacked is not None:
+            from viforssms_tpu.data.features import WindowBatch, make_stacked_gather
+
+            gather_fn = make_stacked_gather(WindowBatch(*stacked), self.cfg.batch_dims)
         if self.series_mode:
             from viforssms_tpu.data.features import gather_series
 
@@ -183,8 +195,8 @@ class VIEngine:
         )
         return idx.astype(jnp.int32) * self.cfg.batch_dims
 
-    def _loss(self, params, key, starts, tables=None):
-        t = self._terms(params, key, starts, tables)
+    def _loss(self, params, key, starts, tables=None, stacked=None):
+        t = self._terms(params, key, starts, tables, stacked)
         elbo = t.elbo
         if self.cfg.train.nan_mask_loss:  # ..._learn_theta.py:482
             elbo = jnp.where(jnp.isnan(elbo), jnp.zeros_like(elbo), elbo)
@@ -201,13 +213,23 @@ class VIEngine:
         )
         return loss, metrics
 
-    def _pre_loss(self, params, key, starts, tables=None):
-        from viforssms_tpu.data.features import gather_series, gather_windows
+    def _pre_loss(self, params, key, starts, tables=None, stacked=None):
+        from viforssms_tpu.data.features import (
+            WindowBatch,
+            gather_series,
+            gather_windows,
+            make_stacked_gather,
+        )
         from viforssms_tpu.inference.vi.elbo import obs_from_features
 
         tables = self.tables if tables is None else tables
-        t = self._terms(params, key, starts, tables)
-        gather = gather_series if self.series_mode else (self._gather_fn or gather_windows)
+        t = self._terms(params, key, starts, tables, stacked)
+        if self.series_mode:
+            gather = gather_series
+        elif stacked is not None:
+            gather = make_stacked_gather(WindowBatch(*stacked), self.cfg.batch_dims)
+        else:
+            gather = gather_windows
         batch = gather(tables, self.spec, starts)
         y, obs_mask = obs_from_features(self.model, batch, self.spec)
         return self.model.pretrain_loss(t.x, t.theta, y, obs_mask), t
@@ -224,9 +246,9 @@ class VIEngine:
                     return f(*a, **k)
             return g
 
-        def train_at(state: TrainState, tables, starts, key, next_key):
+        def train_at(state: TrainState, tables, stacked, starts, key, next_key):
             (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                state.params, key, starts, tables
+                state.params, key, starts, tables, stacked
             )
             gnorm = optax.global_norm(grads)
             updates, opt_state = self.opt.update(grads, state.opt_state, state.params)
@@ -237,18 +259,18 @@ class VIEngine:
                 metrics,
             )
 
-        def train_step(state: TrainState, tables):
+        def train_step(state: TrainState, tables, stacked):
             key, k_starts, k_elbo = jax.random.split(state.key, 3)
             starts = self._sample_starts(k_starts)
-            return train_at(state, tables, starts, k_elbo, key)
+            return train_at(state, tables, stacked, starts, k_elbo, key)
 
-        def train_step_at(state: TrainState, tables, starts):
+        def train_step_at(state: TrainState, tables, stacked, starts):
             key, k_elbo = jax.random.split(state.key)
-            return train_at(state, tables, starts, k_elbo, key)
+            return train_at(state, tables, stacked, starts, k_elbo, key)
 
-        def pretrain_at(state: TrainState, tables, starts, key, next_key):
+        def pretrain_at(state: TrainState, tables, stacked, starts, key, next_key):
             (loss, t), grads = jax.value_and_grad(self._pre_loss, has_aux=True)(
-                state.params, key, starts, tables
+                state.params, key, starts, tables, stacked
             )
             updates, pre_opt_state = self.pre_opt.update(
                 grads, state.pre_opt_state, state.params
@@ -262,48 +284,48 @@ class VIEngine:
                 finite,
             )
 
-        def pretrain_step(state: TrainState, tables):
+        def pretrain_step(state: TrainState, tables, stacked):
             key, k_starts, k_elbo = jax.random.split(state.key, 3)
             starts = self._sample_starts(k_starts)
-            return pretrain_at(state, tables, starts, k_elbo, key)
+            return pretrain_at(state, tables, stacked, starts, k_elbo, key)
 
-        def pretrain_step_at(state: TrainState, tables, starts):
+        def pretrain_step_at(state: TrainState, tables, stacked, starts):
             key, k_elbo = jax.random.split(state.key)
-            return pretrain_at(state, tables, starts, k_elbo, key)
+            return pretrain_at(state, tables, stacked, starts, k_elbo, key)
 
-        def train_many(state: TrainState, tables, num_steps: int):
+        def train_many(state: TrainState, tables, stacked, num_steps: int):
             """num_steps training steps inside ONE compiled program (lax.scan):
             a single host dispatch regardless of chunk size — the device never
             waits on the host between steps (the reference crossed the
             host/device boundary twice per step, SURVEY.md §3.1)."""
             def body(s, _):
-                s, m = train_step(s, tables)
+                s, m = train_step(s, tables, stacked)
                 return s, m
 
             state, ms = jax.lax.scan(body, state, None, length=num_steps)
             return state, ms
 
-        def pretrain_many(state: TrainState, tables, num_steps: int):
+        def pretrain_many(state: TrainState, tables, stacked, num_steps: int):
             def body(s, _):
-                s, loss, finite = pretrain_step(s, tables)
+                s, loss, finite = pretrain_step(s, tables, stacked)
                 return s, (loss, finite)
 
             state, (losses, finites) = jax.lax.scan(body, state, None, length=num_steps)
             return state, losses, finites
 
-        def train_epoch(state: TrainState, tables, idx_mat):
+        def train_epoch(state: TrainState, tables, stacked, idx_mat):
             """One pass over (B, p) series-index batches inside a single
             compiled scan (the tf.data epoch loop as one dispatch)."""
             def body(s, idx):
-                s, m = train_step_at(s, tables, idx)
+                s, m = train_step_at(s, tables, stacked, idx)
                 return s, m
 
             state, ms = jax.lax.scan(body, state, idx_mat)
             return state, ms
 
-        def pretrain_epoch(state: TrainState, tables, idx_mat):
+        def pretrain_epoch(state: TrainState, tables, stacked, idx_mat):
             def body(s, idx):
-                s, loss, finite = pretrain_step_at(s, tables, idx)
+                s, loss, finite = pretrain_step_at(s, tables, stacked, idx)
                 return s, (loss, finite)
 
             state, (losses, finites) = jax.lax.scan(body, state, idx_mat)
@@ -313,22 +335,29 @@ class VIEngine:
         _train_epoch = jax.jit(prec(train_epoch), donate_argnums=donate)
         _pretrain_epoch = jax.jit(prec(pretrain_epoch), donate_argnums=donate)
         _train_step_at = jax.jit(prec(train_step_at), donate_argnums=donate)
-        _train_many = jax.jit(prec(train_many), static_argnums=2, donate_argnums=donate)
+        _train_many = jax.jit(prec(train_many), static_argnums=3, donate_argnums=donate)
         _pretrain_step = jax.jit(prec(pretrain_step), donate_argnums=donate)
         _pretrain_step_at = jax.jit(prec(pretrain_step_at), donate_argnums=donate)
-        _pretrain_many = jax.jit(prec(pretrain_many), static_argnums=2, donate_argnums=donate)
+        _pretrain_many = jax.jit(prec(pretrain_many), static_argnums=3, donate_argnums=donate)
         _eval_terms = jax.jit(
-            prec(lambda params, key, starts, tables: self._terms(params, key, starts, tables))
+            prec(lambda params, key, starts, tables, stacked: self._terms(
+                params, key, starts, tables, stacked))
         )
-        self.train_step = lambda state: _train_step(state, self.tables)
-        self.train_step_at = lambda state, starts: _train_step_at(state, self.tables, starts)
-        self.train_many = lambda state, n: _train_many(state, self.tables, n)
-        self.pretrain_step = lambda state: _pretrain_step(state, self.tables)
-        self.pretrain_many = lambda state, n: _pretrain_many(state, self.tables, n)
-        self.train_epoch = lambda state, idx: _train_epoch(state, self.tables, idx)
-        self.pretrain_epoch = lambda state, idx: _pretrain_epoch(state, self.tables, idx)
-        self.pretrain_step_at = lambda state, starts: _pretrain_step_at(state, self.tables, starts)
-        self.eval_terms = lambda params, key, starts: _eval_terms(params, key, starts, self.tables)
+        self.train_step = lambda state: _train_step(state, self.tables, self._stacked)
+        self.train_step_at = lambda state, starts: _train_step_at(
+            state, self.tables, self._stacked, starts)
+        self.train_many = lambda state, n: _train_many(state, self.tables, self._stacked, n)
+        self.pretrain_step = lambda state: _pretrain_step(state, self.tables, self._stacked)
+        self.pretrain_many = lambda state, n: _pretrain_many(
+            state, self.tables, self._stacked, n)
+        self.train_epoch = lambda state, idx: _train_epoch(
+            state, self.tables, self._stacked, idx)
+        self.pretrain_epoch = lambda state, idx: _pretrain_epoch(
+            state, self.tables, self._stacked, idx)
+        self.pretrain_step_at = lambda state, starts: _pretrain_step_at(
+            state, self.tables, self._stacked, starts)
+        self.eval_terms = lambda params, key, starts: _eval_terms(
+            params, key, starts, self.tables, self._stacked)
 
     # ---- loops ----
     def pretrain(self, state: TrainState, num_steps: Optional[int] = None,

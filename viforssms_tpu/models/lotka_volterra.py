@@ -230,3 +230,37 @@ class LotkaVolterraLearnTheta(SSM):
             anchor = jnp.asarray(self.pretrain_theta_anchor, theta.dtype)
             loss = loss + jnp.mean((theta - anchor) ** 2)
         return loss
+
+
+@dataclasses.dataclass(frozen=True)
+class LotkaVolterraLearnObsScale(LotkaVolterraLearnTheta):
+    """4-parameter LV: rates + LEARNED observation-noise factor.
+
+    ``lotka_volterra_latest.py``: y_scale = theta[:, -1] * x
+    (``lotka_volterra_latest.py:277-280``); the prior is a plain MVNDiag over
+    POSITIVE theta (``lotka_volterra_latest.py:342-346``) — unlike the
+    terminal variant's softplus-transformed prior — with mean
+    softplus([-1, -6, -1, log(e^0.2 - 1)]) (``lotka_volterra_latest.py:604``).
+    Drift/diffusion/x0/path-transform are inherited (theta[:, :3] slices in
+    ``transition_log_prob`` ignore the extra column).
+    """
+
+    prior_mean: Tuple[float, ...] = (0.31326169, 0.00247875, 0.31326169, 0.2)
+    prior_sigma: Tuple[float, ...] = (0.31622777,) * 4
+
+    theta_dim = 4
+
+    def observation_log_prob(self, x, y, obs_mask, theta):
+        loc = x[:, :, 1:]
+        scale = theta[:, -1][:, None, None] * loc  # learned factor
+        y_safe = jnp.where(obs_mask > 0, jnp.maximum(y, 1.0 + 1e-6), 2.0)
+        u = _SDE_CHAIN.inverse(y_safe)
+        lp = normal_logpdf(u, loc, scale) + _SDE_CHAIN.inverse_log_det(y_safe)
+        lp = jnp.where(obs_mask > 0, lp, 0.0)
+        return jnp.sum(lp.reshape(lp.shape[0], -1), axis=1)
+
+    def log_prior(self, theta):
+        # plain Gaussian prior in positive space (lotka_volterra_latest.py:342-346)
+        mean = jnp.asarray(self.prior_mean, theta.dtype)
+        sigma = jnp.asarray(self.prior_sigma, theta.dtype)
+        return jnp.sum(normal_logpdf(theta, mean, sigma), axis=-1)
