@@ -198,7 +198,7 @@ def run_fitz_nag(dat_dir="dat", out_dir="out/fitz_nag", steps=20_000,
 
 def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
                        num_epochs=1010, pre_train_epochs=500, synthetic=False,
-                       num_series=1024, p_val=128):
+                       num_series=1024, p_val=128, learn_obs_scale=False):
     """Batched learn-theta LV over independent series (..._learn_theta.py:778-877)."""
     import jax
 
@@ -206,7 +206,10 @@ def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
     from viforssms_tpu.data.features import series_tables
     from viforssms_tpu.data.io import load_series_2d, save_paths_txt, save_theta_txt
     from viforssms_tpu.inference.vi.train import VIEngine
-    from viforssms_tpu.models.lotka_volterra import LotkaVolterraLearnTheta
+    from viforssms_tpu.models.lotka_volterra import (
+        LotkaVolterraLearnObsScale,
+        LotkaVolterraLearnTheta,
+    )
     from viforssms_tpu.utils.checkpoint import Checkpointer
     from viforssms_tpu.utils.metrics import MetricWriter
 
@@ -241,9 +244,16 @@ def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
     )
     tables, spec = series_tables(obs, obs_bin, tt, num_series, kernel_len,
                                  no_flows, fw, x0=x0_mean, dt=dt)
-    model = LotkaVolterraLearnTheta(dt=dt, prior_mean=prior_mean,
-                                    prior_sigma=prior_sigma, x0_mean=x0_mean,
-                                    x0_std=x0_std)
+    if learn_obs_scale:
+        # 4-param variant with learned obs-noise factor (lotka_volterra_latest.py)
+        model = LotkaVolterraLearnObsScale(
+            dt=dt, prior_mean=prior_mean + (0.2,),
+            prior_sigma=prior_sigma + (prior_sigma[0],), x0_mean=x0_mean,
+            x0_std=x0_std)
+    else:
+        model = LotkaVolterraLearnTheta(dt=dt, prior_mean=prior_mean,
+                                        prior_sigma=prior_sigma, x0_mean=x0_mean,
+                                        x0_std=x0_std)
     eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True)
 
     os.makedirs(out_dir, exist_ok=True)
@@ -400,6 +410,8 @@ def main(argv=None):
     lt.add_argument("--synthetic", action="store_true")
     lt.add_argument("--num-series", type=int, default=1024)
     lt.add_argument("--p-val", type=int, default=128)
+    lt.add_argument("--learn-obs-scale", action="store_true",
+                    help="4-param theta incl. obs-noise factor (lotka_volterra_latest.py)")
 
     args = parser.parse_args(argv)
     if args.tensorboard:
@@ -417,7 +429,8 @@ def main(argv=None):
     elif args.cmd == "lv-learn-theta":
         run_lv_learn_theta(args.dat_dir, args.out, args.epochs,
                            args.pre_train_epochs, args.synthetic,
-                           args.num_series, args.p_val)
+                           args.num_series, args.p_val,
+                           learn_obs_scale=args.learn_obs_scale)
 
 
 if __name__ == "__main__":
