@@ -41,6 +41,9 @@ class FlowConfig:
     # of the transposed global projection whose conv-channel count scales with
     # the window (quadratic FLOPs). Off by default for reference parity.
     aligned_feats_2d: bool = False
+    # Pallas whole-tail megakernel ("off" | "on" | "interpret"); requires the
+    # 1-D or aligned-2-D feature path (ops/fused_flow.py).
+    fused_tail: str = "off"
     # rematerialize each flow in the backward pass (memory for FLOPs)
     remat: bool = False
 

@@ -89,6 +89,12 @@ class ConvIAF(nn.Module):
     # projection, whose conv input channel count grows with the window length
     # (quadratic FLOPs in kernel_ext — lotka_volterra_partial.py:75-79).
     aligned_feats: bool = False
+    # Pallas megakernel for the flow tail (conv+theta+ELU+tower+out+sample in
+    # one VMEM pass; ops/fused_flow.py). Only valid for 1-D or aligned 2-D
+    # flows. "interpret" runs the same kernel through the Pallas interpreter
+    # (tests on CPU). NOTE: fused mode declares its own (flat) parameter
+    # layout; ops.fused_flow.tail_params_from_xla converts checkpoints.
+    fused_tail: str = "off"  # "off" | "on" | "interpret"
 
     @nn.compact
     def __call__(self, z, ts_feats, theta):
@@ -112,16 +118,39 @@ class ConvIAF(nn.Module):
             h = nn.elu(nn.Dense(self.feat_dims, name="feat_T")(h))
             h = jnp.transpose(h, (0, 2, 1))
 
+        # --- theta embedding: 3 linear layers, broadcast-added (AR.py:63-70) ---
+        t = nn.Dense(w0, name="theta_0")(theta)
+        t = nn.Dense(w0, name="theta_1")(t)
+        t = nn.Dense(w0, name="theta_2")(t)
+
+        if self.fused_tail != "off":
+            # whole-tail Pallas megakernel (ops/fused_flow.py)
+            assert self.flow_dims == 1 or self.aligned_feats, (
+                "fused_tail requires the 1-D or aligned-2-D feature path")
+            from viforssms_tpu.ops import fused_flow as ff
+
+            n_tower = len(self.network_dims[1:-1])
+            cin = 1 + w0
+            fp = {
+                name: self.param(name, init, shape)
+                for name, shape, init in ff.tail_param_specs(
+                    self.kernel_len, cin, w0, n_tower, self.use_norm)
+            }
+            wc, bc, tower, wo_, bo_ = ff.tail_args_from_params(
+                fp, n_tower, self.use_norm)
+            # bf16 MXU passes on hardware (matches matmul_precision="bfloat16"
+            # elsewhere); exact f32 in interpret mode so CPU tests pin parity
+            mm_name = "float32" if self.fused_tail == "interpret" else "bfloat16"
+            static = (self.kernel_len, self.use_norm, self.flow_dims,
+                      self.mu_softplus, self.sigma_eps, mm_name,
+                      self.fused_tail == "interpret")
+            return ff.fused_flow_tail(z, h, t, wc, bc, tower, wo_, bo_, static)
+
         # --- causal conv over [sample ⊕ features] ---
         inp = jnp.concatenate([z[:, :-1, None], h], axis=2)
         conv = nn.Conv(
             w0, kernel_size=(self.kernel_len,), padding="VALID", name="conv_in"
         )(inp)
-
-        # --- theta embedding: 3 linear layers, broadcast-added (AR.py:63-70) ---
-        t = nn.Dense(w0, name="theta_0")(theta)
-        t = nn.Dense(w0, name="theta_1")(t)
-        t = nn.Dense(w0, name="theta_2")(t)
         h = nn.elu(conv + t[:, None, :])
 
         # --- 1x1-conv (per-step MLP) tower ---
@@ -174,6 +203,7 @@ class NMAFlowStack(nn.Module):
     mu_softplus: bool = False
     sigma_eps: float = 1e-10
     aligned_feats: bool = False  # see ConvIAF.aligned_feats
+    fused_tail: str = "off"      # see ConvIAF.fused_tail
     # Rematerialize each flow in the backward pass (jax.checkpoint): trades
     # ~1 extra forward per flow for not keeping its activations in HBM —
     # the standard memory lever for long windows / many flows.
@@ -204,6 +234,7 @@ class NMAFlowStack(nn.Module):
                 mu_softplus=self.mu_softplus,
                 sigma_eps=self.sigma_eps,
                 aligned_feats=self.aligned_feats,
+                fused_tail=self.fused_tail,
                 name=f"flow_{i}",
             )(x, feats, theta)
             log_q = log_q - jnp.sum(log_sigma[:, -window:], axis=1)

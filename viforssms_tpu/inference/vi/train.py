@@ -83,6 +83,7 @@ class VIEngine:
             mu_softplus=cfg.flow.mu_softplus,
             sigma_eps=cfg.flow.sigma_eps,
             aligned_feats=cfg.flow.aligned_feats_2d,
+            fused_tail=cfg.flow.fused_tail,
             remat=cfg.flow.remat,
         )
         self.theta_flow = ThetaPosterior(
