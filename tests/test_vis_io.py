@@ -86,3 +86,31 @@ def test_convert_pt_dataset(tmp_path):
     unobserved = np.where(obs_bin[0, :T] == 0)[0]
     assert np.all(time_till[0, unobserved] > 0)
     assert np.allclose(time_till % 0.2, 0, atol=1e-6) or True
+
+def test_plot_helpers_produce_files(tmp_path):
+    """plots.py renders the reference's three visual checks headlessly."""
+    from viforssms_tpu.utils.metrics import MetricWriter
+    from viforssms_tpu.utils.plots import (
+        plot_metric_curves,
+        plot_posterior_paths,
+        plot_theta_posterior,
+    )
+
+    rng = np.random.default_rng(0)
+    paths = np.abs(rng.normal(50, 5, (20, 2, 40)))
+    obs = np.abs(rng.normal(50, 5, (2, 40)))
+    obs_bin = (rng.random((2, 40)) < 0.4).astype(float)
+    f1 = plot_posterior_paths(paths, obs=obs, obs_bin=obs_bin, dt=0.1,
+                              truth=obs, out_path=str(tmp_path / "p.png"))
+    f2 = plot_theta_posterior(rng.normal(size=(500, 3)), truth=[0.0, 0.5, -1.0],
+                              names=["a", "b", "c"],
+                              out_path=str(tmp_path / "t.png"))
+    for j in range(2):
+        with MetricWriter(str(tmp_path / f"run{j}" / "metrics.jsonl")) as w:
+            for s in range(10):
+                w.write(s, {"ELBO": -100.0 + 10 * s + j})
+    f3 = plot_metric_curves(str(tmp_path / "run*" / "metrics.jsonl"),
+                            out_path=str(tmp_path / "e.png"), logy_neg=True)
+    import os
+    for f in (f1, f2, f3):
+        assert os.path.exists(f) and os.path.getsize(f) > 1000

@@ -25,7 +25,7 @@ import numpy as np
 
 
 def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=None,
-            resume=False, export_rows=8192, skip_prior_dump=False):
+            resume=False, export_rows=8192, skip_prior_dump=False, plots=False):
     import jax
 
     from viforssms_tpu.data.io import save_paths_txt, save_theta_txt
@@ -84,9 +84,27 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
     paths = eng.sample_posterior_paths(state.params, jax.random.key(seed + 11),
                                        max_rows=export_rows)
     save_paths_txt(os.path.join(out_dir, "posterior_paths.txt"), paths)
+    theta = None
     if eng.fix_theta_value is None:
         theta = eng.sample_theta(state.params, jax.random.key(seed + 12), 100_000)
         save_theta_txt(os.path.join(out_dir, "theta_posterior.txt"), theta)
+    if os.environ.get("VIFORSSMS_PLOTS") or plots:
+        # the reference inspected these visually (notebooks / TB histograms)
+        from viforssms_tpu.utils.plots import (
+            plot_metric_curves,
+            plot_posterior_paths,
+            plot_theta_posterior,
+        )
+
+        dt = getattr(eng.model, "dt", 1.0)
+        plot_posterior_paths(paths, dt=dt,
+                             out_path=os.path.join(out_dir, "paths.png"))
+        if theta is not None:
+            plot_theta_posterior(theta[:20_000],
+                                 out_path=os.path.join(out_dir, "theta.png"))
+        plot_metric_curves(os.path.join(out_dir, "metrics.jsonl"),
+                           out_path=os.path.join(out_dir, "elbo.png"),
+                           logy_neg=True)
     print("Done:", out_dir, flush=True)
     return state
 
