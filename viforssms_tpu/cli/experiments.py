@@ -70,7 +70,7 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
             # "truth_log_prob" q(theta*) diagnostic (lotka_volterra_partial.py:319)
             lp = eng.theta_flow.apply(
                 state.params["theta"], np.asarray([truth_theta], np.float32),
-                method=ThetaPosterior.log_prob,
+                method=type(eng.theta_flow).log_prob,
             )
             logger.write(int(state.step), {"truth_log_prob": float(lp[0])})
         if eng.fix_theta_value is None:

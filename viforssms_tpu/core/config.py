@@ -98,6 +98,9 @@ class VIConfig:
     theta_num_bijectors: int = 5
     theta_hidden: Tuple[int, ...] = (5, 5, 5)
     theta_softplus: bool = False  # terminal variant positivity (..._learn_theta.py:844)
+    # "maf" = Invert(MAF) chain (AR.py:377-391); "realnvp" = affine-coupling
+    # chain (the family named by fitz_nag_NVP.py / BASELINE.json north star)
+    theta_flow_type: str = "maf"
     fix_theta: bool = False       # lotka_volterra_latest.py:197-203
 
     @property

@@ -150,3 +150,96 @@ class ThetaPosterior(nn.Module):
             normal_logpdf(x, self.base_loc, self.base_scale), axis=-1
         )
         return log_q
+
+
+class Coupling(nn.Module):
+    """One RealNVP affine-coupling bijector (sampling direction).
+
+    ``mask`` marks the conditioner half (passed through unchanged); the other
+    half is transformed ``y = x * exp(s(x_m)) + t(x_m)`` with s, t from a
+    small ELU MLP. Exactly invertible in one pass (both directions parallel).
+    """
+
+    dim: int
+    hidden: Tuple[int, ...] = (8, 8)
+    mask: Tuple[int, ...] = ()
+
+    @nn.compact
+    def _st(self, xm):
+        h = xm
+        for i, w in enumerate(self.hidden):
+            h = nn.elu(nn.Dense(w, name=f"h_{i}")(h))
+        s = nn.Dense(self.dim, name="s")(h)
+        t = nn.Dense(self.dim, name="t")(h)
+        return jnp.clip(s, -5.0, 5.0), t
+
+    def forward(self, x):
+        m = jnp.asarray(self.mask, x.dtype)
+        s, t = self._st(x * m)
+        s = s * (1 - m)
+        y = x * m + (1 - m) * (x * jnp.exp(s) + t)
+        return y, jnp.sum(s, axis=-1)
+
+    def inverse(self, y):
+        m = jnp.asarray(self.mask, y.dtype)
+        s, t = self._st(y * m)
+        s = s * (1 - m)
+        x = y * m + (1 - m) * ((y - t) * jnp.exp(-s))
+        return x, -jnp.sum(s, axis=-1)
+
+    def __call__(self, x):  # for init
+        return self.forward(x)
+
+
+class RealNVPPosterior(nn.Module):
+    """q(theta) as a RealNVP coupling chain (the flow family named by the
+    reference's ``fitz_nag_NVP.py`` and BASELINE.json's north star), with the
+    same API as :class:`ThetaPosterior`. Both directions are single parallel
+    passes, so ``log_prob`` at arbitrary theta is exact without the MAF's
+    D-step solve."""
+
+    dim: int
+    num_bijectors: int = 5
+    hidden: Tuple[int, ...] = (8, 8)
+    softplus: bool = False
+    base_loc: float = 0.0
+    base_scale: float = 1.0
+
+    def setup(self):
+        # alternating even/odd conditioner masks
+        masks = []
+        for k in range(self.num_bijectors):
+            m = tuple(1 if (i + k) % 2 == 0 else 0 for i in range(self.dim))
+            masks.append(m)
+        self.couplings = [
+            Coupling(dim=self.dim, hidden=self.hidden, mask=masks[k],
+                     name=f"cpl_{k}")
+            for k in range(self.num_bijectors)
+        ]
+
+    def __call__(self, key, p: int):
+        return self.sample_and_log_prob(key, p)
+
+    def sample_and_log_prob(self, key, p: int):
+        z = self.base_loc + self.base_scale * jax.random.normal(key, (p, self.dim))
+        log_q = jnp.sum(normal_logpdf(z, self.base_loc, self.base_scale), axis=-1)
+        x = z
+        for c in self.couplings:
+            x, ldj = c.forward(x)
+            log_q = log_q - ldj
+        if self.softplus:
+            log_q = log_q + jnp.sum(jnp.logaddexp(-x, 0.0), axis=-1)
+            x = jnp.logaddexp(x, 0.0)
+        return x, log_q
+
+    def log_prob(self, theta):
+        x = theta
+        log_q = jnp.zeros(theta.shape[:-1], theta.dtype)
+        if self.softplus:
+            log_q = log_q - jnp.sum(jnp.log(-jnp.expm1(-x)), axis=-1)
+            x = x + jnp.log(-jnp.expm1(-x))
+        for c in reversed(self.couplings):
+            x, ldj = c.inverse(x)
+            log_q = log_q + ldj
+        return log_q + jnp.sum(
+            normal_logpdf(x, self.base_loc, self.base_scale), axis=-1)

@@ -86,7 +86,12 @@ class VIEngine:
             fused_tail=cfg.flow.fused_tail,
             remat=cfg.flow.remat,
         )
-        self.theta_flow = ThetaPosterior(
+        theta_cls = ThetaPosterior
+        if getattr(cfg, "theta_flow_type", "maf") == "realnvp":
+            from viforssms_tpu.inference.vi.theta_flow import RealNVPPosterior
+
+            theta_cls = RealNVPPosterior
+        self.theta_flow = theta_cls(
             dim=self.model.theta_dim,
             num_bijectors=cfg.theta_num_bijectors,
             hidden=tuple(cfg.theta_hidden),
@@ -163,7 +168,7 @@ class VIEngine:
             # one theta per row of `starts` (usually cfg.p; exports batch more)
             return self.theta_flow.apply(
                 params["theta"], k, starts.shape[0],
-                method=ThetaPosterior.sample_and_log_prob,
+                method=type(self.theta_flow).sample_and_log_prob,
             )
 
         shard_fn = None
@@ -529,7 +534,7 @@ class VIEngine:
             key, sub = jax.random.split(key)
             m = min(remaining, 8192)
             th, _ = self.theta_flow.apply(
-                params["theta"], sub, m, method=ThetaPosterior.sample_and_log_prob
+                params["theta"], sub, m, method=type(self.theta_flow).sample_and_log_prob
             )
             chunks.append(np.asarray(th))
             remaining -= m
