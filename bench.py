@@ -31,9 +31,13 @@ def main():
     from __graft_entry__ import _lv_engine
 
     # bf16 MXU passes: ~1.3x over f32 with posterior recovery validated to be
-    # indistinguishable on the LV benchmark (docs/RESULTS.md)
+    # indistinguishable on the LV benchmark (docs/RESULTS.md). aligned=True is
+    # the TPU-fast feature mode — statistically equivalent posterior quality
+    # across a six-seed study (docs/RESULTS.md "aligned 2-D feature mode"),
+    # 1.19x on this config, and the production-recommended setting.
     eng = _lv_engine(target=500, batch_dims=50, p=50, kernel_len=20, no_flows=3,
-                     net=(50,) * 5, feat_window=10, matmul_precision="bfloat16")
+                     net=(50,) * 5, feat_window=10, matmul_precision="bfloat16",
+                     aligned=True)
     state = eng.init(jax.random.key(0))
 
     # compile + warmup: a scanned chunk is ONE device program per call, so the

@@ -107,3 +107,25 @@ def test_context_locality_window():
     # dependence reaches back at most offset + 1 z-steps (AR.py:132 window arithmetic)
     lo = t + offset - (offset + 1)
     assert np.allclose(jac[t, : max(lo, 0)], 0.0, atol=1e-7)
+
+
+@pytest.mark.parametrize("flow_dims", [1, 2])
+def test_im2col_conv_mode_matches_conv(flow_dims):
+    """conv_mode="im2col" (unfold + dot) is numerically identical to the XLA
+    conv lowering and parameter-compatible with it (same pytree, so trained
+    checkpoints interchange between the two lowerings)."""
+    stack, params, z, feats, theta, _, _ = _build(flow_dims, aligned=(flow_dims == 2))
+    stack_mm = stack.clone(conv_mode="im2col")
+    params_mm = stack_mm.init(jax.random.key(3), z, feats, theta)
+    assert jax.tree.structure(params) == jax.tree.structure(params_mm)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_mm)):
+        assert a.shape == b.shape
+    x0, lq0 = stack.apply(params, z, feats, theta)
+    x1, lq1 = stack_mm.apply(params, z, feats, theta)  # same params, new lowering
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lq1), np.asarray(lq0), rtol=1e-5, atol=1e-5)
+    # gradients agree too (the custom lowering is used inside value_and_grad)
+    g0 = jax.grad(lambda p: stack.apply(p, z, feats, theta)[1].sum())(params)
+    g1 = jax.grad(lambda p: stack_mm.apply(p, z, feats, theta)[1].sum())(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5)

@@ -44,6 +44,14 @@ class FlowConfig:
     # Pallas whole-tail megakernel ("off" | "on" | "interpret"); requires the
     # 1-D or aligned-2-D feature path (ops/fused_flow.py).
     fused_tail: str = "off"
+    # Lowering of the causal conv: "conv" = lax.conv_general_dilated (XLA conv
+    # emitter); "im2col" = explicit unfold + one dot_general, which keeps the
+    # operand in the same (p, L, C) dense layout as the surrounding 1x1
+    # convs/elementwise ops (the conv emitter's {1,2,0}/{2,0,1} layouts cost
+    # ~25% of step self-time in relayout copies at LV-partial shapes —
+    # docs/RESULTS.md "megakernel study"). Parameter pytree is identical in
+    # both modes (kernel (K, Cin, Cout) + bias), so checkpoints interchange.
+    conv_mode: str = "conv"
     # rematerialize each flow in the backward pass (memory for FLOPs)
     remat: bool = False
 

@@ -62,6 +62,32 @@ class ScaleOffset(nn.Module):
         return gamma * x + beta
 
 
+class CausalConvMM(nn.Module):
+    """Valid-padded causal conv as explicit im2col + one matmul.
+
+    Numerically identical to ``nn.Conv(features, (kernel_len,), "VALID")`` and
+    parameter-compatible with it (same ``kernel``/``bias`` shapes and init), but
+    lowered as ``concat(K shifted slices) @ W`` so the operand never leaves the
+    (p, L, C) row-major layout shared by the surrounding 1x1-conv towers and
+    elementwise ops — avoiding the conv emitter's relayout copies (measured in
+    docs/RESULTS.md; XLA's conv layouts cost ~25% of LV-partial step time).
+    """
+
+    features: int
+    kernel_len: int
+
+    @nn.compact
+    def __call__(self, x):
+        K, cin = self.kernel_len, x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (K, cin, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        l_out = x.shape[1] - K + 1
+        cols = jnp.concatenate([x[:, k : k + l_out, :] for k in range(K)], axis=-1)
+        return cols @ kernel.reshape(K * cin, self.features) + bias
+
+
 class ConvIAF(nn.Module):
     """One local IAF conv flow: z -> x = z[K:] * sigma + mu.
 
@@ -95,6 +121,7 @@ class ConvIAF(nn.Module):
     # (tests on CPU). NOTE: fused mode declares its own (flat) parameter
     # layout; ops.fused_flow.tail_params_from_xla converts checkpoints.
     fused_tail: str = "off"  # "off" | "on" | "interpret"
+    conv_mode: str = "conv"  # "conv" | "im2col" (see CausalConvMM)
 
     @nn.compact
     def __call__(self, z, ts_feats, theta):
@@ -148,9 +175,12 @@ class ConvIAF(nn.Module):
 
         # --- causal conv over [sample ⊕ features] ---
         inp = jnp.concatenate([z[:, :-1, None], h], axis=2)
-        conv = nn.Conv(
-            w0, kernel_size=(self.kernel_len,), padding="VALID", name="conv_in"
-        )(inp)
+        if self.conv_mode == "im2col":
+            conv = CausalConvMM(w0, self.kernel_len, name="conv_in")(inp)
+        else:
+            conv = nn.Conv(
+                w0, kernel_size=(self.kernel_len,), padding="VALID", name="conv_in"
+            )(inp)
         h = nn.elu(conv + t[:, None, :])
 
         # --- 1x1-conv (per-step MLP) tower ---
@@ -204,6 +234,7 @@ class NMAFlowStack(nn.Module):
     sigma_eps: float = 1e-10
     aligned_feats: bool = False  # see ConvIAF.aligned_feats
     fused_tail: str = "off"      # see ConvIAF.fused_tail
+    conv_mode: str = "conv"      # see ConvIAF.conv_mode
     # Rematerialize each flow in the backward pass (jax.checkpoint): trades
     # ~1 extra forward per flow for not keeping its activations in HBM —
     # the standard memory lever for long windows / many flows.
@@ -235,6 +266,7 @@ class NMAFlowStack(nn.Module):
                 sigma_eps=self.sigma_eps,
                 aligned_feats=self.aligned_feats,
                 fused_tail=self.fused_tail,
+                conv_mode=self.conv_mode,
                 name=f"flow_{i}",
             )(x, feats, theta)
             log_q = log_q - jnp.sum(log_sigma[:, -window:], axis=1)

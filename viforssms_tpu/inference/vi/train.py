@@ -84,6 +84,7 @@ class VIEngine:
             sigma_eps=cfg.flow.sigma_eps,
             aligned_feats=cfg.flow.aligned_feats_2d,
             fused_tail=cfg.flow.fused_tail,
+            conv_mode=getattr(cfg.flow, "conv_mode", "conv"),
             remat=cfg.flow.remat,
         )
         theta_cls = ThetaPosterior
