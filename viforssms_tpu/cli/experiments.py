@@ -155,7 +155,8 @@ def run_sv_dense(sv_file="dat/SV.dat", out_dir="out/sv_dense", steps=20_000,
     from viforssms_tpu.inference.vi.train import VIEngine
     from viforssms_tpu.models.stochastic_volatility import StochasticVolatility
 
-    obs = np.loadtxt(sv_file, np.float32)[300:]
+    from viforssms_tpu.native import loadtxt as _loadtxt
+    obs = _loadtxt(sv_file).astype(np.float32)[300:]
     p, kernel_len, batch_dims, no_flows, fw = 200, 50, 52, 5, 5
     target = len(obs) - 1
     cfg = VIConfig(

@@ -5,6 +5,11 @@ Reads/writes the txt triplets the reference trains from: per-series
 (indicators), ``*_time_till.txt`` (steps/time until next observation) —
 written by ``AR_dat_gen.py:33-43`` and ``save_obs_files.ipynb`` cell 2 — plus
 the path/theta sample dumps (``AR.py:323-362``, ``..._learn_theta.py:745-775``).
+
+All matrix txt IO goes through the native C++ reader/writer
+(``viforssms_tpu/native``) — byte-identical to ``np.savetxt``'s default
+format and thread-parallel, which matters at the FHN long-series export
+scale (~2.5 GB txt); it falls back to NumPy when no compiler is available.
 """
 
 from __future__ import annotations
@@ -14,19 +19,21 @@ import os
 import numpy as np
 
 from viforssms_tpu.data.generate import ObservedSeries
+from viforssms_tpu.native import loadtxt as _loadtxt
+from viforssms_tpu.native import savetxt as _savetxt
 
 
 def save_series(dat_dir: str, prefix: str, series: ObservedSeries):
     os.makedirs(dat_dir, exist_ok=True)
-    np.savetxt(os.path.join(dat_dir, f"{prefix}_obs_partial.txt"), series.obs)
-    np.savetxt(os.path.join(dat_dir, f"{prefix}_obs_binary.txt"), series.obs_bin)
-    np.savetxt(os.path.join(dat_dir, f"{prefix}_time_till.txt"), series.time_till)
+    _savetxt(os.path.join(dat_dir, f"{prefix}_obs_partial.txt"), series.obs)
+    _savetxt(os.path.join(dat_dir, f"{prefix}_obs_binary.txt"), series.obs_bin)
+    _savetxt(os.path.join(dat_dir, f"{prefix}_time_till.txt"), series.time_till)
 
 
 def load_series(dat_dir: str, prefix: str):
-    obs = np.loadtxt(os.path.join(dat_dir, f"{prefix}_obs_partial.txt"), np.float32)
-    obs_bin = np.loadtxt(os.path.join(dat_dir, f"{prefix}_obs_binary.txt"), np.float32)
-    time_till = np.loadtxt(os.path.join(dat_dir, f"{prefix}_time_till.txt"), np.float32)
+    obs = _loadtxt(os.path.join(dat_dir, f"{prefix}_obs_partial.txt")).astype(np.float32)
+    obs_bin = _loadtxt(os.path.join(dat_dir, f"{prefix}_obs_binary.txt")).astype(np.float32)
+    time_till = _loadtxt(os.path.join(dat_dir, f"{prefix}_time_till.txt")).astype(np.float32)
     return obs, obs_bin, time_till
 
 
@@ -66,19 +73,19 @@ def convert_pt_dataset(pt_path: str, out_dir: str, prefix: str = "LV", dt: float
             nxt = 0 if obs_bin[0, base + t] == 1.0 else nxt + 1
             time_till[:, base + t] = nxt * dt
     os.makedirs(out_dir, exist_ok=True)
-    np.savetxt(os.path.join(out_dir, f"{prefix}_obs_partial.txt"), obs)
-    np.savetxt(os.path.join(out_dir, f"{prefix}_obs_binary.txt"), obs_bin)
-    np.savetxt(os.path.join(out_dir, f"{prefix}_time_till.txt"), time_till)
-    np.savetxt(os.path.join(out_dir, f"{prefix}_theta.txt"), np.asarray(theta).reshape(n_series, -1))
+    _savetxt(os.path.join(out_dir, f"{prefix}_obs_partial.txt"), obs)
+    _savetxt(os.path.join(out_dir, f"{prefix}_obs_binary.txt"), obs_bin)
+    _savetxt(os.path.join(out_dir, f"{prefix}_time_till.txt"), time_till)
+    _savetxt(os.path.join(out_dir, f"{prefix}_theta.txt"), np.asarray(theta).reshape(n_series, -1))
     return obs, obs_bin, time_till
 
 
 def save_paths_txt(path: str, paths: np.ndarray):
     """(p, ...) posterior paths -> one flattened row per particle (AR.py:360-362)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savetxt(path, paths.reshape(paths.shape[0], -1))
+    _savetxt(path, paths.reshape(paths.shape[0], -1))
 
 
 def save_theta_txt(path: str, theta: np.ndarray):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savetxt(path, theta)
+    _savetxt(path, theta)
