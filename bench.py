@@ -44,8 +44,10 @@ def main():
     # measurement is free of per-step host-dispatch latency over the tunnel.
     # Fence with an actual host read (float(...)): the experimental remote
     # backend's block_until_ready can report readiness early, which would
-    # make a chunk appear impossibly fast.
-    chunk = 250
+    # make a chunk appear impossibly fast. Chunk 2000: the tunnel costs
+    # ~25 ms of dispatch/queueing per call regardless of chunk length
+    # (250-chunks lose ~10% of throughput to it — docs/RESULTS.md).
+    chunk = 2000
     state, metrics = eng.train_many(state, chunk)
     float(metrics.elbo[-1])
 

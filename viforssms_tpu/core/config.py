@@ -52,6 +52,9 @@ class FlowConfig:
     # docs/RESULTS.md "megakernel study"). Parameter pytree is identical in
     # both modes (kernel (K, Cin, Cout) + bias), so checkpoints interchange.
     conv_mode: str = "conv"
+    # Activation dtype inside the conv/tower stack ("float32" | "bfloat16").
+    # Params and all density math stay f32 (flows/nma.py ConvIAF docs).
+    compute_dtype: str = "float32"
     # rematerialize each flow in the backward pass (memory for FLOPs)
     remat: bool = False
 

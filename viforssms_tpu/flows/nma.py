@@ -57,9 +57,9 @@ class ScaleOffset(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        gamma = self.param("scale", nn.initializers.ones, (x.shape[-1],), x.dtype)
-        beta = self.param("offset", nn.initializers.zeros, (x.shape[-1],), x.dtype)
-        return gamma * x + beta
+        gamma = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        beta = self.param("offset", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        return gamma.astype(x.dtype) * x + beta.astype(x.dtype)
 
 
 class CausalConvMM(nn.Module):
@@ -122,6 +122,13 @@ class ConvIAF(nn.Module):
     # layout; ops.fused_flow.tail_params_from_xla converts checkpoints.
     fused_tail: str = "off"  # "off" | "on" | "interpret"
     conv_mode: str = "conv"  # "conv" | "im2col" (see CausalConvMM)
+    # Activation dtype for the conv/tower compute ("float32" | "bfloat16").
+    # Params stay f32; mu/sigma and all density math are cast back to f32.
+    # bf16 halves the bytes moved by the layout copies between the conv
+    # emitter and the surrounding fusions — the dominant step cost at
+    # LV-partial scale (docs/RESULTS.md) — at ~3 decimal digits of activation
+    # rounding, which the reparameterized-ELBO noise dwarfs (measured study).
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, z, ts_feats, theta):
@@ -132,23 +139,24 @@ class ConvIAF(nn.Module):
         """
         w0 = self.network_dims[0]
         p = z.shape[0]
+        cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
         # --- feature net ---
         h = ts_feats[:, :-1, :]
         if self.flow_dims == 1 or self.aligned_feats:
             for i in range(4):  # AR.py:53-56
-                h = nn.elu(nn.Dense(w0, name=f"feat_{i}")(h))
+                h = nn.elu(nn.Dense(w0, name=f"feat_{i}", dtype=cd)(h))
         else:
             for i in range(3):  # lotka_volterra_partial.py:72-74
-                h = nn.elu(nn.Dense(w0, name=f"feat_{i}")(h))
+                h = nn.elu(nn.Dense(w0, name=f"feat_{i}", dtype=cd)(h))
             # transposed projection to the conv length (lotka_volterra_partial.py:75-76)
-            h = nn.elu(nn.Dense(self.feat_dims, name="feat_T")(h))
+            h = nn.elu(nn.Dense(self.feat_dims, name="feat_T", dtype=cd)(h))
             h = jnp.transpose(h, (0, 2, 1))
 
         # --- theta embedding: 3 linear layers, broadcast-added (AR.py:63-70) ---
-        t = nn.Dense(w0, name="theta_0")(theta)
-        t = nn.Dense(w0, name="theta_1")(t)
-        t = nn.Dense(w0, name="theta_2")(t)
+        t = nn.Dense(w0, name="theta_0", dtype=cd)(theta)
+        t = nn.Dense(w0, name="theta_1", dtype=cd)(t)
+        t = nn.Dense(w0, name="theta_2", dtype=cd)(t)
 
         if self.fused_tail != "off":
             # whole-tail Pallas megakernel (ops/fused_flow.py)
@@ -174,28 +182,29 @@ class ConvIAF(nn.Module):
             return ff.fused_flow_tail(z, h, t, wc, bc, tower, wo_, bo_, static)
 
         # --- causal conv over [sample ⊕ features] ---
-        inp = jnp.concatenate([z[:, :-1, None], h], axis=2)
+        inp = jnp.concatenate([z[:, :-1, None].astype(h.dtype), h], axis=2)
         if self.conv_mode == "im2col":
             conv = CausalConvMM(w0, self.kernel_len, name="conv_in")(inp)
         else:
             conv = nn.Conv(
-                w0, kernel_size=(self.kernel_len,), padding="VALID", name="conv_in"
+                w0, kernel_size=(self.kernel_len,), padding="VALID",
+                name="conv_in", dtype=cd,
             )(inp)
         h = nn.elu(conv + t[:, None, :])
 
         # --- 1x1-conv (per-step MLP) tower ---
         for i, width in enumerate(self.network_dims[1:-1]):
-            h = nn.elu(nn.Dense(width, name=f"tower_{i}")(h))
+            h = nn.elu(nn.Dense(width, name=f"tower_{i}", dtype=cd)(h))
             if self.use_norm:
                 h = ScaleOffset(name=f"norm_{i}")(h)
 
         if self.flow_dims == 1:
-            out = nn.Dense(2, name="out")(h)  # (p, L-K, 2)
+            out = nn.Dense(2, name="out", dtype=cd)(h).astype(jnp.float32)  # (p, L-K, 2)
             mu = out[:, :, 0]
             sigma = jax.nn.softplus(out[:, :, 1]) + self.sigma_eps
         else:
             # stride-2 output conv == dense on even positions (lotka_volterra_partial.py:97)
-            out = nn.Dense(2, name="out")(h[:, ::2, :])  # (p, M, 2)
+            out = nn.Dense(2, name="out", dtype=cd)(h[:, ::2, :]).astype(jnp.float32)  # (p, M, 2)
             mu_t, sigma_t = out[:, :, 0], out[:, :, 1]
             if self.mu_softplus:
                 id_mu = jnp.ones_like(mu_t)  # ..._learn_theta.py:161
@@ -235,6 +244,7 @@ class NMAFlowStack(nn.Module):
     aligned_feats: bool = False  # see ConvIAF.aligned_feats
     fused_tail: str = "off"      # see ConvIAF.fused_tail
     conv_mode: str = "conv"      # see ConvIAF.conv_mode
+    compute_dtype: str = "float32"  # see ConvIAF.compute_dtype
     # Rematerialize each flow in the backward pass (jax.checkpoint): trades
     # ~1 extra forward per flow for not keeping its activations in HBM —
     # the standard memory lever for long windows / many flows.
@@ -267,6 +277,7 @@ class NMAFlowStack(nn.Module):
                 aligned_feats=self.aligned_feats,
                 fused_tail=self.fused_tail,
                 conv_mode=self.conv_mode,
+                compute_dtype=self.compute_dtype,
                 name=f"flow_{i}",
             )(x, feats, theta)
             log_q = log_q - jnp.sum(log_sigma[:, -window:], axis=1)

@@ -56,10 +56,20 @@ def clipped_adamax(
     beta1: float = 0.95,
     beta2: float = 0.999,
     grad_clip: float = 2.5e8,
+    flat: bool = True,
 ) -> optax.GradientTransformation:
     """Global-norm clip then Adamax — the reference training op
-    (``AR.py:226-236``: clip_by_global_norm at grad_clip, Adamax beta1=0.95)."""
-    return optax.chain(
+    (``AR.py:226-236``: clip_by_global_norm at grad_clip, Adamax beta1=0.95).
+
+    ``flat=True`` (default) runs the chain on a single raveled parameter
+    vector (``optax.flatten``). Identical math, but the per-leaf formulation
+    costs ~300 tiny device ops per step on a ~100-leaf flow pytree (norm
+    reduce + clip scale + 4 Adamax elementwise ops per leaf), which at
+    LV-partial scale was ~20% of the whole train step on v5e (profiled in
+    docs/RESULTS.md); the flat form is ~10 fused ops total.
+    """
+    tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         adamax(learning_rate=learning_rate, beta1=beta1, beta2=beta2),
     )
+    return optax.flatten(tx) if flat else tx

@@ -16,6 +16,7 @@ import dataclasses
 from typing import Any, NamedTuple, Optional
 
 import jax
+import jax.flatten_util  # noqa: F401  (jnp-style namespace access below)
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -85,6 +86,7 @@ class VIEngine:
             aligned_feats=cfg.flow.aligned_feats_2d,
             fused_tail=cfg.flow.fused_tail,
             conv_mode=getattr(cfg.flow, "conv_mode", "conv"),
+            compute_dtype=getattr(cfg.flow, "compute_dtype", "float32"),
             remat=cfg.flow.remat,
         )
         theta_cls = ThetaPosterior
@@ -106,10 +108,11 @@ class VIEngine:
             beta2=cfg.train.beta2,
             grad_clip=cfg.train.grad_clip,
         )
-        # separate optimizer instance for pre-training (AR.py:201-202)
-        self.pre_opt = adamax(
+        # separate optimizer instance for pre-training (AR.py:201-202);
+        # flattened for the same per-leaf-op reason as clipped_adamax
+        self.pre_opt = optax.flatten(adamax(
             learning_rate=cfg.train.pre_train_lr, beta1=cfg.train.pre_train_beta1
-        )
+        ))
         # series mode: tables carry a leading series axis; "starts" are series
         # indices and each window is a whole series (..._learn_theta.py:305-314)
         self.series_mode = self.tables.feat.ndim == 3
@@ -257,7 +260,9 @@ class VIEngine:
             (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
                 state.params, key, starts, tables, stacked
             )
-            gnorm = optax.global_norm(grads)
+            # one norm over the raveled vector: CSEs with the flat clip inside
+            # the optimizer (per-leaf optax.global_norm was ~100 tiny reduces)
+            gnorm = jnp.linalg.norm(jax.flatten_util.ravel_pytree(grads)[0])
             updates, opt_state = self.opt.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             metrics = metrics._replace(grad_norm=gnorm)
