@@ -1,0 +1,158 @@
+"""AOT export of trained posteriors as serialized StableHLO artifacts.
+
+``export_posterior(engine, params)`` freezes a trained ``VIEngine`` posterior
+into two ``jax.export`` artifacts with parameters + feature tables baked in
+as constants:
+
+* **theta sampler** — ``(seed:int32) -> (n_theta, theta_dim)`` draws from
+  q(theta) (the reference exported these by re-running the training script:
+  ``sess.run(theta_dist.sample([100000]))``, ``SV_dense.py:458-459``).
+* **path sampler** — ``(seed:int32, starts:(rows,) int32) ->
+  (rows, flow_dims, batch_dims+1)`` posterior path windows (the reference's
+  ``save_paths`` loop, ``AR.py:323-362``).
+
+Artifacts are lowered for BOTH cpu and tpu where supported, so one exported
+bundle serves from either backend without the model code. Deserialized
+execution is bit-identical to the live engine on the same platform
+(pinned by tests/test_serving.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _export_fn(fn, arg_specs, platforms):
+    import jax
+
+    jitted = jax.jit(fn)
+    if platforms is not None:
+        try:
+            return jax.export.export(jitted, platforms=platforms)(*arg_specs)
+        except Exception:
+            pass  # e.g. no TPU lowering available in this build — fall through
+    return jax.export.export(jitted)(*arg_specs)
+
+
+@dataclasses.dataclass
+class PosteriorArtifacts:
+    """A loaded (or freshly exported) posterior bundle."""
+
+    theta_exp: Any            # jax.export.Exported: (seed) -> (n_theta, D)
+    paths_exp: Any            # jax.export.Exported: (seed, starts) -> windows
+    meta: Dict[str, Any]
+
+    # ---- calling ----
+    def sample_theta(self, seed: int) -> np.ndarray:
+        import jax.numpy as jnp
+
+        return np.asarray(self.theta_exp.call(jnp.int32(seed)))
+
+    def sample_path_windows(self, seed: int, starts: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        rows = self.meta["path_rows"]
+        if starts.shape != (rows,):
+            raise ValueError(f"starts must have shape ({rows},), got {starts.shape}")
+        return np.asarray(
+            self.paths_exp.call(jnp.int32(seed), jnp.asarray(starts, jnp.int32))
+        )
+
+    def sample_paths(self, seed: int) -> np.ndarray:
+        """Stitch full-length posterior paths from all windows
+        (mirrors ``VIEngine.sample_posterior_paths``): returns
+        (p, flow_dims, target_dims)."""
+        p = self.meta["p"]
+        ws = np.asarray(self.meta["window_starts"], np.int64)
+        wpc = self.meta["path_rows"] // p
+        outs = []
+        for c, c0 in enumerate(range(0, len(ws), wpc)):
+            chunk = ws[c0 : c0 + wpc]
+            n_real = len(chunk)
+            if n_real < wpc:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], wpc - n_real)])
+            starts = np.repeat(chunk, p).astype(np.int32)
+            x = self.sample_path_windows(seed + c, starts)
+            x = x.reshape(wpc, p, *x.shape[1:])
+            outs.extend(x[i][..., 1:] for i in range(n_real))
+        return np.concatenate(outs, axis=-1)
+
+
+def export_posterior(
+    engine,
+    params,
+    n_theta: int = 8192,
+    max_rows: int = 8192,
+    platforms: Optional[Tuple[str, ...]] = ("cpu", "tpu"),
+) -> PosteriorArtifacts:
+    """Freeze a trained engine's posterior into serialized-ready artifacts.
+
+    ``params`` (and the engine's feature tables) are closed over and baked
+    into the StableHLO as constants — the artifact is self-contained.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cfg = engine.cfg
+    ws = [int(s) for s in engine.spec.window_starts()] if not engine.series_mode else []
+    wpc = max(1, min(max(len(ws), 1), max_rows // cfg.p))
+    rows = wpc * cfg.p
+
+    def theta_fn(seed):
+        th, _ = engine.theta_flow.apply(
+            params["theta"], jax.random.key(seed), n_theta,
+            method=type(engine.theta_flow).sample_and_log_prob,
+        )
+        return th
+
+    def path_fn(seed, starts):
+        t = engine._terms(params, jax.random.key(seed), starts,
+                          engine.tables, engine._stacked)
+        return t.x
+
+    i32 = jnp.int32
+    theta_exp = _export_fn(theta_fn, (jax.ShapeDtypeStruct((), i32),), platforms)
+    paths_exp = _export_fn(
+        path_fn,
+        (jax.ShapeDtypeStruct((), i32), jax.ShapeDtypeStruct((rows,), i32)),
+        platforms,
+    )
+    meta = {
+        "model": type(engine.model).__name__,
+        "theta_dim": int(engine.model.theta_dim),
+        "n_theta": int(n_theta),
+        "p": int(cfg.p),
+        "batch_dims": int(cfg.batch_dims),
+        "flow_dims": int(cfg.flow.flow_dims),
+        "path_rows": int(rows),
+        "window_starts": ws,
+        "platforms": list(theta_exp.platforms),
+    }
+    return PosteriorArtifacts(theta_exp=theta_exp, paths_exp=paths_exp, meta=meta)
+
+
+def save_artifacts(arts: PosteriorArtifacts, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "theta_sampler.stablehlo"), "wb") as f:
+        f.write(bytes(arts.theta_exp.serialize()))
+    with open(os.path.join(out_dir, "path_sampler.stablehlo"), "wb") as f:
+        f.write(bytes(arts.paths_exp.serialize()))
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(arts.meta, f, indent=1)
+
+
+def load_artifacts(out_dir: str) -> PosteriorArtifacts:
+    import jax
+
+    with open(os.path.join(out_dir, "theta_sampler.stablehlo"), "rb") as f:
+        theta_exp = jax.export.deserialize(bytearray(f.read()))
+    with open(os.path.join(out_dir, "path_sampler.stablehlo"), "rb") as f:
+        paths_exp = jax.export.deserialize(bytearray(f.read()))
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    return PosteriorArtifacts(theta_exp=theta_exp, paths_exp=paths_exp, meta=meta)
