@@ -25,7 +25,8 @@ import numpy as np
 
 
 def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=None,
-            resume=False, export_rows=8192, skip_prior_dump=False, plots=False):
+            resume=False, export_rows=8192, skip_prior_dump=False, plots=False,
+            export_artifacts=False):
     import jax
 
     from viforssms_tpu.data.io import save_paths_txt, save_theta_txt
@@ -105,6 +106,14 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
         plot_metric_curves(os.path.join(out_dir, "metrics.jsonl"),
                            out_path=os.path.join(out_dir, "elbo.png"),
                            logy_neg=True)
+    if export_artifacts or os.environ.get("VIFORSSMS_ARTIFACTS"):
+        # freeze the posterior for serving (serving/export.py): one StableHLO
+        # bundle, loadable without model code on cpu or tpu
+        from viforssms_tpu.serving import export_posterior, save_artifacts
+
+        arts = export_posterior(eng, state.params, max_rows=export_rows)
+        save_artifacts(arts, os.path.join(out_dir, "artifacts"))
+        print("Serving artifacts:", os.path.join(out_dir, "artifacts"), flush=True)
     print("Done:", out_dir, flush=True)
     return state
 
@@ -393,6 +402,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-tb", "--tensorboard", action="store_true",
                         help="Also write TensorBoard event files next to metrics.jsonl")
+    parser.add_argument("--export-artifacts", action="store_true",
+                        help="After training, freeze the posterior into serving "
+                             "artifacts under <out>/artifacts (serving/export.py); "
+                             "window-mode experiments only")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     lv = sub.add_parser("lv-partial")
@@ -435,6 +448,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.tensorboard:
         os.environ["VIFORSSMS_TENSORBOARD"] = "1"
+    if args.export_artifacts:
+        os.environ["VIFORSSMS_ARTIFACTS"] = "1"
     if args.cmd == "lv-partial":
         run_lv_partial(args.dat_dir, args.out, args.steps, args.synthetic,
                        args.pretrain_gate, resume=args.resume)

@@ -71,6 +71,12 @@ class VIEngine:
     # series opt out — a 1e6-step FHN stack would be ~0.3 GB of overlap).
     stack_windows: Any = "auto"   # True | False | "auto"
     stack_windows_max_bytes: int = 128 * 1024 * 1024
+    # PRNG implementation for all in-step randomness (None = key as passed,
+    # usually threefry2x32). "rbg" trades threefry's splittability guarantees
+    # for the TPU-native hardware generator: +1.4% on the LV-partial step
+    # (docs/RESULTS.md). The impl travels inside the typed key, so every
+    # split/sample downstream inherits it.
+    prng_impl: Any = None
 
     def __post_init__(self):
         cfg = self.cfg
@@ -147,6 +153,11 @@ class VIEngine:
     # ---- parameter init ----
     def init(self, key) -> TrainState:
         cfg = self.cfg
+        if self.prng_impl is not None:
+            n = jax.random.key_data(jax.random.key(0, impl=self.prng_impl)).shape[0]
+            key = jax.random.wrap_key_data(
+                jax.random.bits(key, (n,), jnp.uint32), impl=self.prng_impl
+            )
         k1, k2, k3, k4 = jax.random.split(key, 4)
         z = jnp.zeros((cfg.p, self.spec.kernel_ext))
         feats = jnp.zeros((cfg.p, self.spec.kernel_ext, self.tables.feat.shape[-1]))
