@@ -99,9 +99,19 @@ def measure_sequence(n_devices: int, T_total: int = 512, p: int = 8,
 
 
 def main():
+    import os
+
     from viforssms_tpu.core.platform import apply_platform_env
 
     apply_platform_env()
+    # This image's sitecustomize re-pins JAX_PLATFORMS to the single TPU chip,
+    # silently defeating `JAX_PLATFORMS=cpu XLA_FLAGS=...device_count=8`. If
+    # the caller asked for the virtual host-device farm, honor it.
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        os.environ.setdefault("VIFORSSMS_PLATFORM", "cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     sizes = [1]
