@@ -56,6 +56,13 @@ class AR1(SSM):
         loc = theta[1] * x + theta[0]
         return loc + jnp.exp(theta[2]) * jax.random.normal(key, x.shape)
 
+    def predictive_step(self, key, x, theta):
+        """x: (p,), theta: (p, 3) -> x' ~ N(theta1 x + theta0, exp(theta2))."""
+        import jax
+
+        loc = theta[:, 1] * x + theta[:, 0]
+        return loc + jnp.exp(theta[:, 2]) * jax.random.normal(key, x.shape)
+
     def pretrain_loss(self, x, theta, y, obs_mask):
         # AR pre-trains on the observation likelihood alone (AR.py:201-202)
         del theta

@@ -54,3 +54,12 @@ class SSM:
         """Path/parameter initialization objective (``AR.py:201-202``,
         ``lotka_volterra_partial.py:301-305``)."""
         raise NotImplementedError
+
+    def predictive_step(self, key, x, theta):
+        """One ancestral (Euler-Maruyama) step with PER-PARTICLE theta, for
+        posterior-predictive forecasting (``inference/forecast.py``; no
+        reference counterpart). ``x``: (p,) for scalar models, (p, 2) for
+        bivariate; ``theta``: (p, D) in the model's working parameterization
+        (the same space the ELBO's theta samples live in). Must match the
+        model's ``transition_log_prob`` density."""
+        raise NotImplementedError

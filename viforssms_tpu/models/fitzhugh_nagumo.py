@@ -60,6 +60,21 @@ class FitzHughNagumo(SSM):
         scale = jnp.asarray(self.prior_scale, theta.dtype)
         return jnp.sum(normal_logpdf(theta, mean, scale), axis=-1)
 
+    def predictive_step(self, key, x, theta):
+        """x: (p, 2), theta: (p, 5) -> one EM step per particle."""
+        import jax
+
+        t0, t1, t2 = theta[:, 0], theta[:, 1], theta[:, 2]
+        t3, t4 = theta[:, 3], theta[:, 4]
+        x1, x2 = x[:, 0], x[:, 1]
+        a1 = jnp.exp(t0) * (x1 - x1**3 - x2 + t1)
+        a2 = t2 * x1 - x2 + 1.4
+        sdt = jnp.sqrt(self.dt)
+        z = jax.random.normal(key, x.shape)
+        d1 = self.dt * a1 + sdt * jnp.sqrt(jnp.exp(t3)) * z[:, 0]
+        d2 = self.dt * a2 + sdt * jnp.sqrt(jnp.exp(t4)) * z[:, 1]
+        return jnp.stack([x1 + d1, x2 + d2], axis=1)
+
     def pretrain_loss(self, x, theta, y, obs_mask):
         # path regression to 0 (t1) + theta regression to the reference's
         # anchor (t2) — both ops run each pre-train step (fitz_nag_NVP.py:373)

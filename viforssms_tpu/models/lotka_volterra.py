@@ -119,6 +119,21 @@ class LotkaVolterra(SSM):
         d2 = self.dt * a2 + sdt * (cb * z[:, 0] + cc * z[:, 1])
         return jnp.maximum(jnp.stack([x1 + d1, x2 + d2], axis=1), 1e-3)
 
+    def predictive_step(self, key, x, theta):
+        """x: (p, 2), theta: (p, 3) log-rates -> one EM step per particle."""
+        import jax
+
+        t0, t1, t2 = self._rates(theta)
+        t0, t1, t2 = t0[:, 0], t1[:, 0], t2[:, 0]
+        x1, x2 = x[:, 0], x[:, 1]
+        a1, a2 = lv_drift(x1, x2, t0, t1, t2)
+        ca, cb, cc = lv_chol(x1, x2, t0, t1, t2)
+        z = jax.random.normal(key, x.shape)
+        sdt = jnp.sqrt(self.dt)
+        d1 = self.dt * a1 + sdt * ca * z[:, 0]
+        d2 = self.dt * a2 + sdt * (cb * z[:, 0] + cc * z[:, 1])
+        return jnp.maximum(jnp.stack([x1 + d1, x2 + d2], axis=1), 1e-3)
+
     def transform_path(self, x_raw, mask, shift):
         # softplus positivity + pin first column to x0 (lotka_volterra_partial.py:292-297)
         sp = Softplus()
@@ -214,6 +229,20 @@ class LotkaVolterraLearnTheta(SSM):
         sigma = jnp.asarray(self.prior_sigma, theta.dtype)
         ildj = jnp.sum(sp.inverse_log_det(theta), axis=-1)
         return jnp.sum(normal_logpdf(u, mean, sigma), axis=-1) + ildj
+
+    def predictive_step(self, key, x, theta):
+        """x: (p, 2), theta: (p, >=3) POSITIVE rates in its first 3 columns."""
+        import jax
+
+        t0, t1, t2 = theta[:, 0], theta[:, 1], theta[:, 2]
+        x1, x2 = x[:, 0], x[:, 1]
+        a1, a2 = lv_drift(x1, x2, t0, t1, t2)
+        ca, cb, cc = lv_chol(x1, x2, t0, t1, t2)
+        z = jax.random.normal(key, x.shape)
+        sdt = jnp.sqrt(self.dt)
+        d1 = self.dt * a1 + sdt * ca * z[:, 0]
+        d2 = self.dt * a2 + sdt * (cb * z[:, 0] + cc * z[:, 1])
+        return jnp.maximum(jnp.stack([x1 + d1, x2 + d2], axis=1), 1e-3)
 
     def transform_path(self, x_raw, mask, shift):
         # x = (softplus(raw) + 1) * mask + shift + 1e-6 (..._learn_theta.py:465-478)

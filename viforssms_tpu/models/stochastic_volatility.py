@@ -67,6 +67,21 @@ class StochasticVolatility(SSM):
         scale = jnp.asarray(self.prior_scale, theta.dtype)
         return jnp.sum(normal_logpdf(theta, mean, scale), axis=-1)
 
+    def predictive_step(self, key, x, theta):
+        """x: (p, 2) = (log-price, log-vol), theta: (p, 4) -> one EM step."""
+        import jax
+
+        t0, t1 = theta[:, 0], theta[:, 1]
+        t2, t3 = theta[:, 2], theta[:, 3]
+        x1, x2 = x[:, 0], x[:, 1]
+        a1 = t0 * x1
+        a2 = t1 - jnp.exp(t2) * x2
+        sdt = jnp.sqrt(self.dt)
+        z = jax.random.normal(key, x.shape)
+        d1 = self.dt * a1 + sdt * x1 * jnp.exp(0.5 * x2) * z[:, 0]
+        d2 = self.dt * a2 + sdt * jnp.exp(t3) * z[:, 1]
+        return jnp.stack([x1 + d1, x2 + d2], axis=1)
+
     def pretrain_loss(self, x, theta, y, obs_mask):
         # (x + 7)^2 pulls log-vol into a sane region (SV_dense.py:251-252);
         # theta is simultaneously regressed to the reference's anchor values
