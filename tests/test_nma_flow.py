@@ -129,3 +129,31 @@ def test_im2col_conv_mode_matches_conv(flow_dims):
     g1 = jax.grad(lambda p: stack_mm.apply(p, z, feats, theta)[1].sum())(params)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5)
+
+
+def test_batched_feat_mlp_matches_per_flow():
+    """batched_feat_mlp computes the same function as the per-flow feature
+    MLPs when its stacked weights are built from the per-flow ones."""
+    stack, params, z, feats, theta, _, _ = _build(2, aligned=True)
+    stack_b = stack.clone(batched_feat_mlp=True)
+    pb = stack_b.init(jax.random.key(9), z, feats, theta)
+    # graft the per-flow weights into the stacked layout
+    import copy
+    pb = jax.tree.map(lambda a: a, pb)  # deep-ish copy of the dict tree
+    inner = dict(pb["params"])
+    for j in range(4):
+        inner[f"bfeat_{j}_kernel"] = jnp.stack(
+            [params["params"][f"flow_{i}"][f"feat_{j}"]["kernel"]
+             for i in range(stack.no_flows)])
+        inner[f"bfeat_{j}_bias"] = jnp.stack(
+            [params["params"][f"flow_{i}"][f"feat_{j}"]["bias"]
+             for i in range(stack.no_flows)])
+    for i in range(stack.no_flows):
+        fl = {k: v for k, v in params["params"][f"flow_{i}"].items()
+              if not k.startswith("feat_")}
+        inner[f"flow_{i}"] = fl
+    pb = {"params": inner}
+    x0, lq0 = stack.apply(params, z, feats, theta)
+    x1, lq1 = stack_b.apply(pb, z, feats, theta)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lq1), np.asarray(lq0), rtol=1e-5, atol=1e-5)

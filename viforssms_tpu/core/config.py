@@ -55,6 +55,9 @@ class FlowConfig:
     # Activation dtype inside the conv/tower stack ("float32" | "bfloat16").
     # Params and all density math stay f32 (flows/nma.py ConvIAF docs).
     compute_dtype: str = "float32"
+    # Batch the per-flow feature MLPs into one einsum chain (1-D/aligned-2-D
+    # only; own stacked param layout — flows/nma.py NMAFlowStack docs).
+    batched_feat_mlp: bool = False
     # rematerialize each flow in the backward pass (memory for FLOPs)
     remat: bool = False
 

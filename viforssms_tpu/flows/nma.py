@@ -130,6 +130,11 @@ class ConvIAF(nn.Module):
     # rounding, which the reparameterized-ELBO noise dwarfs (measured study).
     compute_dtype: str = "float32"
 
+    # Feature-MLP output precomputed by the stack (batched across flows —
+    # NMAFlowStack.batched_feat_mlp). When True, ts_feats is already the
+    # 4-layer ELU embedding and this module creates no feat params.
+    precomputed_feats: bool = False
+
     @nn.compact
     def __call__(self, z, ts_feats, theta):
         """z: (p, L); ts_feats: (p, Lf, F); theta: (p, D) -> (x, log_sigma).
@@ -142,11 +147,14 @@ class ConvIAF(nn.Module):
         cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
         # --- feature net ---
-        h = ts_feats[:, :-1, :]
-        if self.flow_dims == 1 or self.aligned_feats:
+        if self.precomputed_feats:
+            h = ts_feats
+        elif self.flow_dims == 1 or self.aligned_feats:
+            h = ts_feats[:, :-1, :]
             for i in range(4):  # AR.py:53-56
                 h = nn.elu(nn.Dense(w0, name=f"feat_{i}", dtype=cd)(h))
         else:
+            h = ts_feats[:, :-1, :]
             for i in range(3):  # lotka_volterra_partial.py:72-74
                 h = nn.elu(nn.Dense(w0, name=f"feat_{i}", dtype=cd)(h))
             # transposed projection to the conv length (lotka_volterra_partial.py:75-76)
@@ -245,6 +253,14 @@ class NMAFlowStack(nn.Module):
     fused_tail: str = "off"      # see ConvIAF.fused_tail
     conv_mode: str = "conv"      # see ConvIAF.conv_mode
     compute_dtype: str = "float32"  # see ConvIAF.compute_dtype
+    # Batch the per-flow feature MLPs into one einsum chain over a leading
+    # flow axis (1-D / aligned-2-D paths only). The MLPs are pointwise over
+    # time, so MLP_i(ts_feats[:, iK:]) == MLP_i(ts_feats)[:, iK:] — compute
+    # all flows on the full window at once, slice per flow. Cuts the feature
+    # path from 12 to 4 matmul dispatches per forward (3 flows x 4 layers).
+    # NOTE: declares its own stacked parameter layout (bfeat_j_*), so
+    # checkpoints don't interchange with the per-flow layout.
+    batched_feat_mlp: bool = False
     # Rematerialize each flow in the backward pass (jax.checkpoint): trades
     # ~1 extra forward per flow for not keeping its activations in HBM —
     # the standard memory lever for long windows / many flows.
@@ -256,9 +272,32 @@ class NMAFlowStack(nn.Module):
         kernel_ext = z.shape[1]
         # windowed base log-prob (AR.py:31-35)
         log_q = jnp.sum(normal_logpdf(z, 0.0, 1.0)[:, -window:], axis=1)
+        embs = None
+        if self.batched_feat_mlp:
+            assert self.flow_dims == 1 or self.aligned_feats, (
+                "batched_feat_mlp requires the 1-D or aligned-2-D feature path")
+            assert self.fused_tail == "off"
+            w0 = self.network_dims[0]
+            cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+            h = ts_feats[:, :-1, :]
+            dims = [h.shape[-1]] + [w0] * 4
+            init = nn.initializers.lecun_normal(batch_axis=(0,))
+            for j in range(4):  # AR.py:53-56, all flows in one einsum
+                W = self.param(f"bfeat_{j}_kernel", init,
+                               (self.no_flows, dims[j], dims[j + 1]), jnp.float32)
+                b = self.param(f"bfeat_{j}_bias", nn.initializers.zeros,
+                               (self.no_flows, dims[j + 1]), jnp.float32)
+                if cd is not None:
+                    h, W, b = h.astype(cd), W.astype(cd), b.astype(cd)
+                eq = "plf,nfo->nplo" if j == 0 else "nplf,nfo->nplo"
+                h = nn.elu(jnp.einsum(eq, h, W) + b[:, None, None, :])
+            embs = h  # (no_flows, p, Lf-1, w0)
         x = z
         for i in range(self.no_flows):
-            if self.flow_dims == 1 or self.aligned_feats:
+            if embs is not None:
+                feats = embs[i][:, i * self.kernel_len :, :]
+                feat_dims = 0
+            elif self.flow_dims == 1 or self.aligned_feats:
                 feats = ts_feats[:, i * self.kernel_len :, :]
                 feat_dims = 0
             else:
@@ -278,6 +317,7 @@ class NMAFlowStack(nn.Module):
                 fused_tail=self.fused_tail,
                 conv_mode=self.conv_mode,
                 compute_dtype=self.compute_dtype,
+                precomputed_feats=embs is not None,
                 name=f"flow_{i}",
             )(x, feats, theta)
             log_q = log_q - jnp.sum(log_sigma[:, -window:], axis=1)

@@ -93,6 +93,7 @@ class VIEngine:
             fused_tail=cfg.flow.fused_tail,
             conv_mode=getattr(cfg.flow, "conv_mode", "conv"),
             compute_dtype=getattr(cfg.flow, "compute_dtype", "float32"),
+            batched_feat_mlp=getattr(cfg.flow, "batched_feat_mlp", False),
             remat=cfg.flow.remat,
         )
         theta_cls = ThetaPosterior
