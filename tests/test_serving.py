@@ -29,7 +29,7 @@ def trained():
 @pytest.fixture(scope="module")
 def artifacts(trained, tmp_path_factory):
     eng, params = trained
-    arts = export_posterior(eng, params, n_theta=64)
+    arts = export_posterior(eng, params, n_theta=64, forecast_horizon=12)
     d = tmp_path_factory.mktemp("artifacts")
     save_artifacts(arts, str(d))
     return load_artifacts(str(d)), eng, params
@@ -63,6 +63,13 @@ def test_stitched_paths_full_length(artifacts):
     assert np.all(np.isfinite(paths))
 
 
+def test_forecast_artifact(artifacts):
+    arts, eng, _ = artifacts
+    fan = arts.sample_forecast(seed=5)
+    assert fan.shape == (eng.cfg.p, eng.cfg.flow.flow_dims, 12)
+    assert np.all(np.isfinite(fan)) and np.all(fan > 0)  # LV stays positive
+
+
 def test_http_server_roundtrip(artifacts):
     arts, eng, _ = artifacts
     srv = PosteriorServer(arts, port=0).start()
@@ -89,6 +96,14 @@ def test_http_server_roundtrip(artifacts):
         with urllib.request.urlopen(req, timeout=120) as r:
             paths = np.asarray(json.loads(r.read())["paths"])
         assert paths.shape == (eng.cfg.p, eng.cfg.flow.flow_dims, eng.spec.target_dims)
+
+        req = urllib.request.Request(
+            f"{base}/forecast", data=json.dumps({"seed": 5}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            fan = np.asarray(json.loads(r.read())["forecast"])
+        assert fan.shape == (eng.cfg.p, eng.cfg.flow.flow_dims, 12)
 
         # malformed request -> 400, unknown path -> 404 (clean errors, not crashes)
         req = urllib.request.Request(

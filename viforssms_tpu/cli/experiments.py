@@ -119,7 +119,8 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
 
 
 def run_lv_partial(dat_dir="dat", out_dir="out/lv_partial", steps=20_000,
-                   synthetic=False, pretrain_gate=1000, resume=False):
+                   synthetic=False, pretrain_gate=1000, resume=False,
+                   aligned=False):
     """LV partially observed, fixed data (lotka_volterra_partial.py:465-530)."""
     from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
     from viforssms_tpu.data.features import lv_tables
@@ -143,7 +144,8 @@ def run_lv_partial(dat_dir="dat", out_dir="out/lv_partial", steps=20_000,
     cfg = VIConfig(
         p=p, batch_dims=batch_dims, T=target,
         flow=FlowConfig(kernel_len=kernel_len, no_flows=no_flows,
-                        network_dims=(50,) * 5, feat_window=fw, flow_dims=2),
+                        network_dims=(50,) * 5, feat_window=fw, flow_dims=2,
+                        aligned_feats_2d=aligned),
         train=TrainConfig(learn_rate=1e-3, grad_clip=1e9, nan_mask_loss=True),
         theta_num_bijectors=4,
     )
@@ -415,6 +417,9 @@ def main(argv=None):
     lv.add_argument("--synthetic", action="store_true")
     lv.add_argument("--pretrain-gate", type=int, default=1000)
     lv.add_argument("--resume", action="store_true")
+    lv.add_argument("--aligned", action="store_true",
+                    help="TPU-fast aligned feature mode (quality-equivalent; "
+                         "docs/RESULTS.md six-seed study)")
 
     sv = sub.add_parser("sv-dense")
     sv.add_argument("--sv-file", default="dat/SV.dat")
@@ -452,7 +457,8 @@ def main(argv=None):
         os.environ["VIFORSSMS_ARTIFACTS"] = "1"
     if args.cmd == "lv-partial":
         run_lv_partial(args.dat_dir, args.out, args.steps, args.synthetic,
-                       args.pretrain_gate, resume=args.resume)
+                       args.pretrain_gate, resume=args.resume,
+                       aligned=args.aligned)
     elif args.cmd == "sv-dense":
         run_sv_dense(args.sv_file, args.out, args.steps, args.pretrain,
                      resume=args.resume)

@@ -46,6 +46,7 @@ class PosteriorArtifacts:
     theta_exp: Any            # jax.export.Exported: (seed) -> (n_theta, D)
     paths_exp: Any            # jax.export.Exported: (seed, starts) -> windows
     meta: Dict[str, Any]
+    forecast_exp: Any = None  # optional: (seed) -> (p, [2,] horizon) forecast fan
 
     # ---- calling ----
     def sample_theta(self, seed: int) -> np.ndarray:
@@ -62,6 +63,14 @@ class PosteriorArtifacts:
         return np.asarray(
             self.paths_exp.call(jnp.int32(seed), jnp.asarray(starts, jnp.int32))
         )
+
+    def sample_forecast(self, seed: int) -> np.ndarray:
+        """Posterior-predictive fan (inference/forecast.py), if exported."""
+        import jax.numpy as jnp
+
+        if self.forecast_exp is None:
+            raise ValueError("bundle was exported without forecast_horizon")
+        return np.asarray(self.forecast_exp.call(jnp.int32(seed)))
 
     def sample_paths(self, seed: int) -> np.ndarray:
         """Stitch full-length posterior paths from all windows
@@ -89,6 +98,7 @@ def export_posterior(
     n_theta: int = 8192,
     max_rows: int = 8192,
     platforms: Optional[Tuple[str, ...]] = ("cpu", "tpu"),
+    forecast_horizon: int = 0,
 ) -> PosteriorArtifacts:
     """Freeze a trained engine's posterior into serialized-ready artifacts.
 
@@ -122,6 +132,17 @@ def export_posterior(
         (jax.ShapeDtypeStruct((), i32), jax.ShapeDtypeStruct((rows,), i32)),
         platforms,
     )
+    forecast_exp = None
+    if forecast_horizon > 0:
+        from viforssms_tpu.inference.forecast import posterior_predictive
+
+        def forecast_fn(seed):
+            paths, _ = posterior_predictive(
+                engine, params, jax.random.key(seed), forecast_horizon)
+            return paths
+
+        forecast_exp = _export_fn(
+            forecast_fn, (jax.ShapeDtypeStruct((), i32),), platforms)
     meta = {
         "model": type(engine.model).__name__,
         "theta_dim": int(engine.model.theta_dim),
@@ -132,8 +153,10 @@ def export_posterior(
         "path_rows": int(rows),
         "window_starts": ws,
         "platforms": list(theta_exp.platforms),
+        "forecast_horizon": int(forecast_horizon),
     }
-    return PosteriorArtifacts(theta_exp=theta_exp, paths_exp=paths_exp, meta=meta)
+    return PosteriorArtifacts(theta_exp=theta_exp, paths_exp=paths_exp, meta=meta,
+                              forecast_exp=forecast_exp)
 
 
 def save_artifacts(arts: PosteriorArtifacts, out_dir: str) -> None:
@@ -142,6 +165,9 @@ def save_artifacts(arts: PosteriorArtifacts, out_dir: str) -> None:
         f.write(bytes(arts.theta_exp.serialize()))
     with open(os.path.join(out_dir, "path_sampler.stablehlo"), "wb") as f:
         f.write(bytes(arts.paths_exp.serialize()))
+    if arts.forecast_exp is not None:
+        with open(os.path.join(out_dir, "forecast_sampler.stablehlo"), "wb") as f:
+            f.write(bytes(arts.forecast_exp.serialize()))
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(arts.meta, f, indent=1)
 
@@ -153,6 +179,12 @@ def load_artifacts(out_dir: str) -> PosteriorArtifacts:
         theta_exp = jax.export.deserialize(bytearray(f.read()))
     with open(os.path.join(out_dir, "path_sampler.stablehlo"), "rb") as f:
         paths_exp = jax.export.deserialize(bytearray(f.read()))
+    forecast_exp = None
+    fpath = os.path.join(out_dir, "forecast_sampler.stablehlo")
+    if os.path.exists(fpath):
+        with open(fpath, "rb") as f:
+            forecast_exp = jax.export.deserialize(bytearray(f.read()))
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
-    return PosteriorArtifacts(theta_exp=theta_exp, paths_exp=paths_exp, meta=meta)
+    return PosteriorArtifacts(theta_exp=theta_exp, paths_exp=paths_exp, meta=meta,
+                              forecast_exp=forecast_exp)

@@ -7,6 +7,8 @@ Endpoints:
   GET  /healthz                     -> artifact metadata
   POST /sample_theta {"seed": int}  -> {"theta": [[...], ...]}  (n_theta, D)
   POST /sample_paths {"seed": int}  -> {"paths": [[[...]]]}     (p, dims, T)
+  POST /forecast     {"seed": int}  -> {"forecast": [[[...]]]}  (p, [dims,] H)
+                                       (bundles exported with forecast_horizon)
 
 Usage:
   srv = PosteriorServer(load_artifacts("out/artifacts"), port=0)
@@ -70,6 +72,14 @@ class PosteriorServer:
                         with lock:
                             x = arts.sample_paths(seed)
                         self._json(200, {"paths": x.tolist()})
+                    elif self.path == "/forecast":
+                        if arts.forecast_exp is None:
+                            self._json(404, {"error": "no forecast artifact "
+                                             "(export with forecast_horizon>0)"})
+                            return
+                        with lock:
+                            x = arts.sample_forecast(seed)
+                        self._json(200, {"forecast": x.tolist()})
                     else:
                         self._json(404, {"error": "unknown path"})
                 except Exception as e:  # execution failure
