@@ -38,6 +38,11 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
     os.makedirs(out_dir, exist_ok=True)
     seed = eng.cfg.train.seed
     state = eng.init(jax.random.key(seed))
+    # Scanned-chunk sizes: accelerators pay ~25 ms of tunnel dispatch per
+    # chunk (docs/RESULTS.md dispatch study) so bigger is better; on CPU the
+    # scanned programs compile slowly on few cores, so keep the old shapes.
+    on_cpu = jax.default_backend() == "cpu"
+    fit_chunk, pre_chunk = (50, 0) if on_cpu else (250, 50)
 
     ckpt = Checkpointer(os.path.join(out_dir, "ckpt"))
     restored = ckpt.restore(state) if resume else None
@@ -56,11 +61,11 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
         if restored is None:
             print("Pre-training...", flush=True)
             state = eng.pretrain(state, num_steps=pretrain, finite_gate=finite_gate,
-                                 log_every=100, logger=logger)
+                                 log_every=100, logger=logger, scan_chunk=pre_chunk)
         print("Training...", flush=True)
         with PreemptionGuard() as guard:
             state, last = eng.fit(state, num_steps=num_steps, logger=logger,
-                                  checkpointer=ckpt, scan_chunk=50,
+                                  checkpointer=ckpt, scan_chunk=fit_chunk,
                                   should_stop=guard)
         if guard.triggered:
             ckpt.save(state)

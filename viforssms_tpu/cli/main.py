@@ -150,9 +150,12 @@ def run_ar1(params, num_steps=2000, out_dir="out/ar1", dat_dir=None, seed=1):
         print("Pre-training...", flush=True)
         state = eng.pretrain(state, log_every=100, logger=logger)
         print("Training...", flush=True)
+        # accelerators amortize ~25 ms/dispatch with big chunks; CPU compiles
+        # the scanned program slowly, so keep it small there
+        chunk = 50 if jax.default_backend() == "cpu" else 250
         with PreemptionGuard() as guard:
             state, last = eng.fit(state, num_steps=num_steps, logger=logger,
-                                  checkpointer=ckpt, scan_chunk=50,
+                                  checkpointer=ckpt, scan_chunk=chunk,
                                   should_stop=guard)
         if last is not None:
             print("Final metrics:", metrics_to_dict(last), flush=True)
