@@ -118,3 +118,114 @@ def test_http_server_roundtrip(artifacts):
         assert ei.value.code == 404
     finally:
         srv.stop()
+
+
+@pytest.fixture(scope="module")
+def series_artifacts(tmp_path_factory):
+    """Series-mode (batched learn-theta) engine frozen into a bundle."""
+    from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
+    from viforssms_tpu.data.features import series_tables
+    from viforssms_tpu.inference.vi.train import VIEngine
+    from viforssms_tpu.models.lotka_volterra import LotkaVolterraLearnTheta
+
+    num_series, target = 7, 16
+    rng = np.random.default_rng(0)
+    # flat (2, num_series*(target+1)) layout, per-series blocks
+    obs = np.abs(rng.normal(95.0, 5.0, size=(2, num_series * (target + 1))))
+    obs_bin = np.ones((2, num_series * (target + 1)))
+    tt = np.zeros((2, num_series * (target + 1)))
+    tables, spec = series_tables(obs, obs_bin, tt, num_series, kernel_len=4,
+                                 no_flows=2, feat_window=3, x0=(91.0, 99.0), dt=0.2)
+    cfg = VIConfig(
+        p=3, batch_dims=target, T=target,
+        flow=FlowConfig(kernel_len=4, no_flows=2, network_dims=(8, 8, 8),
+                        feat_window=3, flow_dims=2, mu_softplus=True),
+        train=TrainConfig(learn_rate=1e-3, grad_clip=1e9, nan_mask_loss=True),
+        theta_num_bijectors=2, theta_softplus=True,
+    )
+    model = LotkaVolterraLearnTheta(dt=0.2, x0_mean=(91.0, 99.0), x0_std=(1.0, 1.0))
+    eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True)
+    state = eng.init(jax.random.key(0))
+    state, _ = eng.fit_epochs(state, num_epochs=1)
+    arts = export_posterior(eng, state.params, n_theta=32, max_rows=5)
+    d = tmp_path_factory.mktemp("series_artifacts")
+    save_artifacts(arts, str(d))
+    return load_artifacts(str(d)), eng, state.params
+
+
+def test_series_mode_export_meta(series_artifacts):
+    arts, eng, _ = series_artifacts
+    assert arts.meta["series_mode"] is True
+    assert arts.meta["num_series"] == eng.num_series
+    # rows floor at p even when max_rows is smaller
+    assert arts.meta["path_rows"] == max(eng.cfg.p, 5)
+
+
+def test_series_mode_path_artifact_matches_live_engine(series_artifacts):
+    arts, eng, params = series_artifacts
+    rows = arts.meta["path_rows"]
+    idx = np.resize(np.arange(eng.num_series), rows).astype(np.int32)
+    x = arts.sample_path_windows(seed=3, starts=idx)
+    t = eng.eval_terms(params, jax.random.key(3), idx)
+    np.testing.assert_allclose(x, np.asarray(t.x), rtol=1e-4, atol=1e-4)
+
+
+def test_series_mode_all_series_paths(series_artifacts):
+    """sample_paths on a series bundle = one posterior path per series,
+    covering all series across batched artifact calls (padded last chunk)."""
+    arts, eng, _ = series_artifacts
+    paths = arts.sample_paths(seed=9)
+    assert paths.shape == (eng.num_series, eng.cfg.flow.flow_dims,
+                           eng.spec.target_dims)
+    assert np.all(np.isfinite(paths))
+    # windowed helper refuses series bundles' stitching semantics in reverse
+    with pytest.raises(ValueError):
+        arts_meta_backup = dict(arts.meta)
+        try:
+            arts.meta["series_mode"] = False
+            arts.sample_series_paths(seed=1)
+        finally:
+            arts.meta.update(arts_meta_backup)
+
+
+def test_http_batch_and_b64(artifacts):
+    """/batch executes several seeds in one request; "b64" format round-trips
+    exactly; seed-memoised responses match fresh device executions."""
+    from viforssms_tpu.serving.server import decode_array
+
+    arts, eng, _ = artifacts
+    srv = PosteriorServer(arts, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def post(path, payload, timeout=120):
+            req = urllib.request.Request(
+                f"{base}{path}", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return json.loads(r.read())
+
+        out = post("/batch", {"endpoint": "sample_theta", "seeds": [1, 2, 1],
+                              "format": "b64"})
+        ths = [decode_array(r["theta"]) for r in out["results"]]
+        assert all(t.shape == (64, eng.model.theta_dim) for t in ths)
+        np.testing.assert_array_equal(ths[0], ths[2])     # same seed (cached)
+        assert not np.array_equal(ths[0], ths[1])         # different seed
+        np.testing.assert_allclose(ths[0], arts.sample_theta(1), rtol=1e-6)
+
+        # b64 single-call matches the JSON-list encoding of the same seed
+        a = decode_array(post("/sample_paths", {"seed": 4, "format": "b64"})["paths"])
+        b = np.asarray(post("/sample_paths", {"seed": 4})["paths"])
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+        # unknown batch endpoint -> 400
+        req = urllib.request.Request(
+            f"{base}/batch", data=json.dumps({"endpoint": "nope", "seeds": [1]}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        srv.stop()

@@ -316,6 +316,13 @@ def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
     save_paths_txt(os.path.join(out_dir, "posterior_paths.txt"), paths)
     save_theta_txt(os.path.join(out_dir, "theta_posterior.txt"),
                    eng.sample_theta(state.params, jax.random.key(5), 100_000))
+    if os.environ.get("VIFORSSMS_ARTIFACTS"):
+        # series-mode bundle: one posterior path per series at serve time
+        from viforssms_tpu.serving import export_posterior, save_artifacts
+
+        arts = export_posterior(eng, state.params)
+        save_artifacts(arts, os.path.join(out_dir, "artifacts"))
+        print("Serving artifacts:", os.path.join(out_dir, "artifacts"), flush=True)
     print("Done:", out_dir, flush=True)
     return state
 
@@ -411,8 +418,7 @@ def main(argv=None):
                         help="Also write TensorBoard event files next to metrics.jsonl")
     parser.add_argument("--export-artifacts", action="store_true",
                         help="After training, freeze the posterior into serving "
-                             "artifacts under <out>/artifacts (serving/export.py); "
-                             "window-mode experiments only")
+                             "artifacts under <out>/artifacts (serving/export.py)")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     lv = sub.add_parser("lv-partial")

@@ -72,10 +72,32 @@ class PosteriorArtifacts:
             raise ValueError("bundle was exported without forecast_horizon")
         return np.asarray(self.forecast_exp.call(jnp.int32(seed)))
 
+    def sample_series_paths(self, seed: int) -> np.ndarray:
+        """Posterior paths for every series of a series-mode bundle (one draw
+        per series, mirroring ``VIEngine.sample_series_paths``): returns
+        (num_series, flow_dims, target_dims)."""
+        if not self.meta.get("series_mode"):
+            raise ValueError("bundle was exported from a windowed engine; "
+                             "use sample_paths")
+        n = self.meta["num_series"]
+        rows = self.meta["path_rows"]
+        outs = []
+        for c, i0 in enumerate(range(0, n, rows)):
+            idx = np.arange(i0, min(i0 + rows, n), dtype=np.int64)
+            n_real = len(idx)
+            if n_real < rows:
+                idx = np.concatenate([idx, np.repeat(idx[-1:], rows - n_real)])
+            x = self.sample_path_windows(seed + c, idx.astype(np.int32))
+            outs.append(x[:n_real, ..., 1:])
+        return np.concatenate(outs, axis=0)
+
     def sample_paths(self, seed: int) -> np.ndarray:
         """Stitch full-length posterior paths from all windows
         (mirrors ``VIEngine.sample_posterior_paths``): returns
-        (p, flow_dims, target_dims)."""
+        (p, flow_dims, target_dims). Series-mode bundles return one path per
+        series instead, (num_series, flow_dims, target_dims)."""
+        if self.meta.get("series_mode"):
+            return self.sample_series_paths(seed)
         p = self.meta["p"]
         ws = np.asarray(self.meta["window_starts"], np.int64)
         wpc = self.meta["path_rows"] // p
@@ -109,9 +131,15 @@ def export_posterior(
     import jax.numpy as jnp
 
     cfg = engine.cfg
-    ws = [int(s) for s in engine.spec.window_starts()] if not engine.series_mode else []
-    wpc = max(1, min(max(len(ws), 1), max_rows // cfg.p))
-    rows = wpc * cfg.p
+    if engine.series_mode:
+        # series-mode rows are series indices: one posterior draw per series,
+        # batched up to max_rows per call (..._learn_theta.py:745-775)
+        ws = []
+        rows = max(cfg.p, min(engine.num_series, max_rows))
+    else:
+        ws = [int(s) for s in engine.spec.window_starts()]
+        wpc = max(1, min(max(len(ws), 1), max_rows // cfg.p))
+        rows = wpc * cfg.p
 
     def theta_fn(seed):
         th, _ = engine.theta_flow.apply(
@@ -152,6 +180,8 @@ def export_posterior(
         "flow_dims": int(cfg.flow.flow_dims),
         "path_rows": int(rows),
         "window_starts": ws,
+        "series_mode": bool(engine.series_mode),
+        "num_series": int(engine.num_series),
         "platforms": list(theta_exp.platforms),
         "forecast_horizon": int(forecast_horizon),
     }
