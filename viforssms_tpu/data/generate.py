@@ -112,6 +112,43 @@ def simulate_fhn(theta, x0=(-1.0, 1.0), dt=0.1, T=100.0, seed=1):
     return _em_path(drift, chol, np.asarray(x0, float), dt, n, rng).astype(np.float32)
 
 
+def simulate_double_well(theta, x0=1.0, dt=0.1, T=50.0, seed=1):
+    """Double-well diffusion dx = a*x*(b - x^2) dt + s dW (the EXTENDING.md
+    tutorial model; not in the reference). theta = (log a, b, log s)."""
+    rng = np.random.RandomState(seed)
+    log_a, b, log_s = theta
+    a, s = np.exp(log_a), np.exp(log_s)
+    n = int(round(T / dt))
+    x = np.zeros(n + 1)
+    x[0] = x0
+    for t in range(n):
+        x[t + 1] = (x[t] + dt * a * x[t] * (b - x[t] ** 2)
+                    + np.sqrt(dt) * s * rng.normal())
+    return x.astype(np.float32)
+
+
+def partial_observe_1d(x, every=10, obs_std=1.0, seed=2):
+    """Observe a scalar path every ``every`` steps with Gaussian noise;
+    returns (obs_filled (T,), obs_bin (T,), time_till (T,)) — the 1-D layout
+    ``ar1_tables`` consumes (columns are latent steps 1..T). Unobserved steps
+    carry the NEXT observation's value (the reference's backward fill,
+    ``AR_dat_gen.py:21-23``)."""
+    rng = np.random.RandomState(seed)
+    T = len(x) - 1
+    obs = np.zeros(T, np.float32)
+    obs_bin = np.zeros(T, np.float32)
+    idx = np.arange(every - 1, T, every)
+    obs[idx] = x[idx + 1] + rng.normal(0.0, obs_std, size=len(idx))
+    obs_bin[idx] = 1.0
+    t_arange = np.arange(T)
+    pos = np.searchsorted(idx, t_arange)
+    nxt = np.where(pos < len(idx), idx[np.minimum(pos, len(idx) - 1)], T - 1)
+    obs_fill = obs[nxt]
+    dist = np.where(pos < len(idx), nxt - t_arange, T - t_arange)
+    time_till = np.where(obs_bin > 0, 0, dist).astype(np.float32)
+    return obs_fill.astype(np.float32), obs_bin, time_till
+
+
 def partial_observe_2d(x, every=10, obs_std=1.0, seed=2, observed_dims=(0, 1)):
     """Observe a 2-D path every ``every`` steps with Gaussian noise; returns
     (obs_filled (2,T), obs_bin (2,T), time_till (2,T)) in the reference's txt
