@@ -110,12 +110,14 @@ def test_context_locality_window():
 
 
 @pytest.mark.parametrize("flow_dims", [1, 2])
-def test_im2col_conv_mode_matches_conv(flow_dims):
-    """conv_mode="im2col" (unfold + dot) is numerically identical to the XLA
-    conv lowering and parameter-compatible with it (same pytree, so trained
-    checkpoints interchange between the two lowerings)."""
+@pytest.mark.parametrize("mode", ["im2col", "hybrid"])
+def test_alt_conv_modes_match_conv(mode, flow_dims):
+    """conv_mode="im2col" (unfold + dot) and "hybrid" (conv-emitter forward +
+    custom_vjp im2col backward) are numerically identical to the XLA conv
+    lowering and parameter-compatible with it (same pytree, so trained
+    checkpoints interchange between the lowerings)."""
     stack, params, z, feats, theta, _, _ = _build(flow_dims, aligned=(flow_dims == 2))
-    stack_mm = stack.clone(conv_mode="im2col")
+    stack_mm = stack.clone(conv_mode=mode)
     params_mm = stack_mm.init(jax.random.key(3), z, feats, theta)
     assert jax.tree.structure(params) == jax.tree.structure(params_mm)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_mm)):

@@ -49,8 +49,12 @@ class FlowConfig:
     # operand in the same (p, L, C) dense layout as the surrounding 1x1
     # convs/elementwise ops (the conv emitter's {1,2,0}/{2,0,1} layouts cost
     # ~25% of step self-time in relayout copies at LV-partial shapes —
-    # docs/RESULTS.md "megakernel study"). Parameter pytree is identical in
-    # both modes (kernel (K, Cin, Cout) + bias), so checkpoints interchange.
+    # docs/RESULTS.md "megakernel study"); "hybrid" = conv-emitter forward +
+    # im2col backward via custom_vjp (ops/hybrid_conv.py) — measured NEGATIVE
+    # at bench shapes (the custom_vjp fusion boundary costs more than the
+    # backward saves; docs/RESULTS.md "hybrid conv study"), ships for larger
+    # shapes. Parameter pytree is identical in all modes (kernel
+    # (K, Cin, Cout) + bias), so checkpoints interchange.
     conv_mode: str = "conv"
     # Activation dtype inside the conv/tower stack ("float32" | "bfloat16").
     # Params and all density math stay f32 (flows/nma.py ConvIAF docs).

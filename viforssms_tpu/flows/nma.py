@@ -88,6 +88,29 @@ class CausalConvMM(nn.Module):
         return cols @ kernel.reshape(K * cin, self.features) + bias
 
 
+class CausalConvHybrid(nn.Module):
+    """XLA-conv forward + im2col backward (``ops/hybrid_conv.py``). Measured
+    NEGATIVE at LV-partial scale (docs/RESULTS.md "hybrid conv study") —
+    ships off by default. Parameter-compatible with
+    ``nn.Conv``/``CausalConvMM``."""
+
+    features: int
+    kernel_len: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        from viforssms_tpu.ops.hybrid_conv import causal_conv_hybrid
+
+        K, cin = self.kernel_len, x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (K, cin, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        cd = self.dtype or x.dtype
+        return causal_conv_hybrid(x.astype(cd), kernel.astype(cd), bias.astype(cd))
+
+
 class ConvIAF(nn.Module):
     """One local IAF conv flow: z -> x = z[K:] * sigma + mu.
 
@@ -121,7 +144,7 @@ class ConvIAF(nn.Module):
     # (tests on CPU). NOTE: fused mode declares its own (flat) parameter
     # layout; ops.fused_flow.tail_params_from_xla converts checkpoints.
     fused_tail: str = "off"  # "off" | "on" | "interpret"
-    conv_mode: str = "conv"  # "conv" | "im2col" (see CausalConvMM)
+    conv_mode: str = "conv"  # "conv" | "im2col" | "hybrid" (see CausalConvMM/-Hybrid)
     # Activation dtype for the conv/tower compute ("float32" | "bfloat16").
     # Params stay f32; mu/sigma and all density math are cast back to f32.
     # bf16 halves the bytes moved by the layout copies between the conv
@@ -193,6 +216,8 @@ class ConvIAF(nn.Module):
         inp = jnp.concatenate([z[:, :-1, None].astype(h.dtype), h], axis=2)
         if self.conv_mode == "im2col":
             conv = CausalConvMM(w0, self.kernel_len, name="conv_in")(inp)
+        elif self.conv_mode == "hybrid":
+            conv = CausalConvHybrid(w0, self.kernel_len, name="conv_in", dtype=cd)(inp)
         else:
             conv = nn.Conv(
                 w0, kernel_size=(self.kernel_len,), padding="VALID",
