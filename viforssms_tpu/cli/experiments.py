@@ -461,6 +461,21 @@ def main(argv=None):
     lt.add_argument("--learn-obs-scale", action="store_true",
                     help="4-param theta incl. obs-noise factor (lotka_volterra_latest.py)")
 
+    sw = sub.add_parser("lv-series-sweep",
+                        help="Fault-tolerant per-series sweep "
+                             "(lotka_volterra_latest.py:627-715)")
+    sw.add_argument("--dat-dir", default="dat")
+    sw.add_argument("--out", default="out/lv_sweep")
+    sw.add_argument("--num-series", type=int, default=150)
+    sw.add_argument("--target", type=int, default=151)
+    sw.add_argument("--steps", type=int, default=3000)
+    sw.add_argument("--pre-train", type=int, default=1000)
+    sw.add_argument("--learn-theta", action="store_true",
+                    help="Learn theta per series instead of the reference's "
+                         "fixed-at-prior-mean mode")
+    sw.add_argument("--synthetic", action="store_true")
+    sw.add_argument("--p-val", type=int, default=50)
+
     args = parser.parse_args(argv)
     if args.tensorboard:
         os.environ["VIFORSSMS_TENSORBOARD"] = "1"
@@ -482,6 +497,11 @@ def main(argv=None):
                            args.pre_train_epochs, args.synthetic,
                            args.num_series, args.p_val,
                            learn_obs_scale=args.learn_obs_scale)
+    elif args.cmd == "lv-series-sweep":
+        run_series_sweep(args.dat_dir, args.out, args.num_series, args.target,
+                         args.steps, args.pre_train,
+                         fix_theta=not args.learn_theta,
+                         synthetic=args.synthetic, p=args.p_val)
 
 
 if __name__ == "__main__":
