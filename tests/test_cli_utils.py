@@ -77,3 +77,19 @@ def test_cli_run_ar1_small(tmp_path):
     b = jax.tree.leaves(state.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(x, y, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_series_sweep_warm_start(tmp_path):
+    """Warm-started sweep (each series initialized from the previous one's
+    trained params, pre-training only on series 0) completes and writes
+    per-series outputs; measured speedup study in docs/RESULTS.md."""
+    from viforssms_tpu.cli.experiments import run_series_sweep
+
+    out = tmp_path / "sweep"
+    run_series_sweep(out_dir=str(out), num_series=2, target=21, steps=8,
+                     pre_train=4, synthetic=True, p=4, warm_start=True,
+                     kernel_len=4, no_flows=2, net=(8, 8, 8), feat_window=3)
+    for j in range(2):
+        assert (out / f"series_{j:04d}" / "paths.txt").exists()
+    assert not (out / "failures.txt").exists()
