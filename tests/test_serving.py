@@ -229,3 +229,55 @@ def test_http_batch_and_b64(artifacts):
         assert ei.value.code == 400
     finally:
         srv.stop()
+
+
+def test_multi_model_routing_and_metrics(artifacts, series_artifacts):
+    """One server, many bundles: /models listing, per-model routing, 404s for
+    ambiguous bare routes and unknown models, and a Prometheus /metrics page
+    with request/cache/device counters."""
+    arts_lv, eng_lv, _ = artifacts
+    arts_sr, eng_sr, _ = series_artifacts
+    srv = PosteriorServer({"lv": arts_lv, "series": arts_sr}, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"{base}{path}", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        listing = json.loads(urllib.request.urlopen(f"{base}/models", timeout=30).read())
+        assert set(listing["models"]) == {"lv", "series"}
+        assert listing["models"]["series"]["series_mode"] is True
+
+        th = np.asarray(post("/models/lv/sample_theta", {"seed": 2})["theta"])
+        np.testing.assert_allclose(th, arts_lv.sample_theta(2), rtol=1e-6)
+        post("/models/lv/sample_theta", {"seed": 2})  # cache hit
+        ps = np.asarray(post("/models/series/sample_paths", {"seed": 1})["paths"])
+        assert ps.shape == (eng_sr.num_series, eng_sr.cfg.flow.flow_dims,
+                            eng_sr.spec.target_dims)
+
+        # bare route is ambiguous with 2 models; unknown model -> 404
+        for path in ("/sample_theta", "/models/nope/sample_theta"):
+            req = urllib.request.Request(
+                f"{base}{path}", data=b"{}",
+                headers={"Content-Type": "application/json"}, method="POST")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 404
+
+        # per-model healthz still works
+        h = json.loads(urllib.request.urlopen(
+            f"{base}/models/lv/healthz", timeout=30).read())
+        assert h["status"] == "ok" and h["meta"]["series_mode"] is False
+
+        text = urllib.request.urlopen(f"{base}/metrics", timeout=30).read().decode()
+        assert 'viforssms_requests_total{endpoint="sample_theta",code="200"} 2' in text
+        assert 'viforssms_cache_hits_total{endpoint="sample_theta"} 1' in text
+        assert 'viforssms_device_executions_total{endpoint="sample_theta"} 1' in text
+        assert "viforssms_device_seconds_total" in text
+    finally:
+        srv.stop()
