@@ -6,6 +6,8 @@ evidence log p(y | theta) with theta fixed, and posterior path means must
 track the Kalman smoother.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -87,3 +89,41 @@ def test_ar1_learn_theta_smoke():
     assert float(m1.elbo) > float(m0.elbo)  # training makes progress
     th = eng.sample_theta(state.params, jax.random.key(2), 256)
     assert th.shape == (256, 3) and np.all(np.isfinite(th))
+
+
+def test_warm_init_online_continuation():
+    """New observations extend the series: rebuild tables at the new T, drop
+    the trained params in via warm_init, and continue — the warm engine's
+    very first ELBO on the extended series beats a cold init's by a wide
+    margin (the posterior transfers; parameter shapes are T-independent)."""
+    eng, series = _make_engine(fix_theta=True, T=200)
+    state = eng.init(jax.random.key(0))
+    state = eng.pretrain(state, num_steps=60)
+    state, _ = eng.fit(state, num_steps=300)
+
+    longer = generate_ar1(T=300, impute=2, x0=5.0, theta=(1.0, 0.8, 1.0),
+                          obs_std=0.7, seed=3)  # same process, longer record
+    cfg2 = dataclasses.replace(eng.cfg, T=300)
+    tables2, spec2 = ar1_tables(
+        longer.obs, longer.obs_bin, longer.time_till,
+        cfg2.flow.kernel_len, cfg2.flow.no_flows, cfg2.flow.feat_window,
+        cfg2.batch_dims, x0=5.0,
+    )
+    eng2 = VIEngine(model=AR1(obs_std=0.7), cfg=cfg2, tables=tables2, spec=spec2,
+                    fix_theta_value=np.asarray(THETA_TRUE, np.float32),
+                    theta_base_loc=1.5, theta_base_scale=0.5)
+    warm = eng2.warm_init(jax.random.key(1), state.params)
+    cold = eng2.init(jax.random.key(1))
+
+    def first_elbo(st):
+        _, m = eng2.fit(st, num_steps=1)
+        return float(m.elbo)
+
+    e_warm, e_cold = first_elbo(warm), first_elbo(cold)
+    assert np.isfinite(e_warm)
+    assert e_warm > e_cold + 100.0, (e_warm, e_cold)
+    # warm_init copies params, so the donating fit above must not have
+    # deleted the caller's buffers; a fresh warm state keeps training
+    warm2 = eng2.warm_init(jax.random.key(2), state.params)
+    warm2, m = eng2.fit(warm2, num_steps=50)
+    assert np.isfinite(float(m.elbo))

@@ -402,10 +402,10 @@ def run_series_sweep(dat_dir="dat", out_dir="out/lv_sweep", num_series=150,
                 )
             else:
                 eng.tables = tables  # same shapes: compiled programs are reused
-            state = eng.init(jax.random.key(j))
             if warm_start and warm_params is not None:
-                state = state._replace(params=warm_params)
+                state = eng.warm_init(jax.random.key(j), warm_params)
             else:
+                state = eng.init(jax.random.key(j))
                 state = eng.pretrain(state, num_steps=pre_train)
             with MetricWriter(os.path.join(out_dir, f"series_{j:04d}",
                                            "metrics.jsonl")) as logger:

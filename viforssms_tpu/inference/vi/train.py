@@ -174,6 +174,25 @@ class VIEngine:
             step=jnp.zeros((), jnp.int32),
         )
 
+    def warm_init(self, key, params) -> TrainState:
+        """Fresh optimizer/PRNG state around EXISTING parameters.
+
+        The flow/theta parameter shapes depend only on the flow config and
+        theta_dim — not on the series length — so a trained engine's params
+        drop into any engine with the same ``FlowConfig``/model. Uses: online
+        continuation when new observations extend the series (rebuild tables
+        at the new T, keep the posterior), warm-started series sweeps
+        (cli/experiments.py), and transfer across related series. Typically
+        skips pre-training (the params are already in a finite basin). No
+        reference counterpart (it rebuilds graphs cold per series,
+        ``lotka_volterra_latest.py:627-715``).
+
+        The params are COPIED: the train steps donate their input state
+        (``VIEngine.donate``), and sharing buffers with the caller would let
+        the first fit delete the caller's copy."""
+        state = self.init(key)
+        return state._replace(params=jax.tree.map(jnp.copy, params))
+
     # ---- core losses ----
     def _terms(self, params, key, starts, tables=None, stacked=None):
         tables = self.tables if tables is None else tables
