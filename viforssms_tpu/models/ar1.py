@@ -49,6 +49,13 @@ class AR1(SSM):
         scale = jnp.asarray(self.prior_scale, theta.dtype)
         return jnp.sum(normal_logpdf(theta, mean, scale), axis=-1)
 
+    def observation_sample(self, key, x_steps, theta):
+        """y ~ N(x, obs_std) per step (AR.py:169-170); x_steps: (p, T)."""
+        import jax
+
+        del theta
+        return x_steps + self.obs_std * jax.random.normal(key, x_steps.shape)
+
     def transition_sample(self, key, x, theta):
         """One-step ancestral draw x' ~ N(theta1 x + theta0, exp(theta2)) for SMC."""
         import jax

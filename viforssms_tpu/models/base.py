@@ -55,6 +55,17 @@ class SSM:
         ``lotka_volterra_partial.py:301-305``)."""
         raise NotImplementedError
 
+    def observation_sample(self, key, x_steps, theta):
+        """Sample y ~ p(y | x) for each step, for posterior-predictive checks
+        (``inference/ppc.py``; no reference counterpart). ``x_steps`` is the
+        path over steps 1..T WITHOUT the x0 column — (p, T) scalar models,
+        (p, 2, T) bivariate — matching the observation columns; returns y of
+        the same shape. Must agree with ``observation_log_prob``'s density.
+        Models without a separate observation density (SV: the observed dim
+        enters through the transition) keep the default."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no separate observation model")
+
     def predictive_step(self, key, x, theta):
         """One ancestral (Euler-Maruyama) step with PER-PARTICLE theta, for
         posterior-predictive forecasting (``inference/forecast.py``; no

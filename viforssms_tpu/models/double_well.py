@@ -59,6 +59,12 @@ class DoubleWell(SSM):
         scale = jnp.asarray(self.prior_scale, theta.dtype)
         return jnp.sum(normal_logpdf(theta, mean, scale), axis=-1)
 
+    def observation_sample(self, key, x_steps, theta):
+        import jax
+
+        del theta
+        return x_steps + self.obs_std * jax.random.normal(key, x_steps.shape)
+
     def transition_sample(self, key, x, theta):
         """One ancestral EM step with a SINGLE theta vector (3,), for SMC."""
         import jax

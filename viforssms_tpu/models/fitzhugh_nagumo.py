@@ -60,6 +60,13 @@ class FitzHughNagumo(SSM):
         scale = jnp.asarray(self.prior_scale, theta.dtype)
         return jnp.sum(normal_logpdf(theta, mean, scale), axis=-1)
 
+    def observation_sample(self, key, x_steps, theta):
+        """y ~ N(x, obs_std) per step (fitz_nag_NVP.py:233-234)."""
+        import jax
+
+        del theta
+        return x_steps + self.obs_std * jax.random.normal(key, x_steps.shape)
+
     def predictive_step(self, key, x, theta):
         """x: (p, 2), theta: (p, 5) -> one EM step per particle."""
         import jax

@@ -105,6 +105,13 @@ class LotkaVolterra(SSM):
         scale = jnp.asarray(self.prior_scale, theta.dtype)
         return jnp.sum(normal_logpdf(theta, mean, scale), axis=-1)
 
+    def observation_sample(self, key, x_steps, theta):
+        """y ~ N(x, obs_scale) per step (lotka_volterra_partial.py:235)."""
+        import jax
+
+        del theta
+        return x_steps + self.obs_scale * jax.random.normal(key, x_steps.shape)
+
     def transition_sample(self, key, x, theta_rates):
         """One Euler-Maruyama step for SMC: x (N, 2), theta_rates (3,) positive."""
         import jax
@@ -230,6 +237,20 @@ class LotkaVolterraLearnTheta(SSM):
         ildj = jnp.sum(sp.inverse_log_det(theta), axis=-1)
         return jnp.sum(normal_logpdf(u, mean, sigma), axis=-1) + ildj
 
+    def observation_sample(self, key, x_steps, theta):
+        """y = f(u), u ~ N(x, factor*x) with f the SDE softplus chain — the
+        exact inverse of ``observation_log_prob``'s change of variables.
+        ``theta`` supplies the factor only in the learned-obs-scale subclass."""
+        import jax
+
+        loc = x_steps
+        scale = self._obs_scale_factor(theta)[:, None, None] * loc
+        u = loc + scale * jax.random.normal(key, x_steps.shape)
+        return _SDE_CHAIN.forward(u)
+
+    def _obs_scale_factor(self, theta):
+        return jnp.full((theta.shape[0],), self.obs_noise_factor)
+
     def predictive_step(self, key, x, theta):
         """x: (p, 2), theta: (p, >=3) POSITIVE rates in its first 3 columns."""
         import jax
@@ -293,3 +314,6 @@ class LotkaVolterraLearnObsScale(LotkaVolterraLearnTheta):
         mean = jnp.asarray(self.prior_mean, theta.dtype)
         sigma = jnp.asarray(self.prior_sigma, theta.dtype)
         return jnp.sum(normal_logpdf(theta, mean, sigma), axis=-1)
+
+    def _obs_scale_factor(self, theta):
+        return theta[:, -1]  # learned factor (lotka_volterra_latest.py:277-280)
