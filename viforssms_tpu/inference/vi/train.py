@@ -77,6 +77,13 @@ class VIEngine:
     # (docs/RESULTS.md). The impl travels inside the typed key, so every
     # split/sample downstream inherits it.
     prng_impl: Any = None
+    # Sticking-the-landing (Roeder et al. 2017) for the theta term: evaluate
+    # log q(theta) with STOPPED variational parameters so its score term
+    # drops from the gradient — an unbiased, lower-variance estimator that is
+    # exactly zero-variance when q(theta) hits the posterior. Costs one extra
+    # (tiny) density pass per step. Path-space STL would need the NMA flow's
+    # sequential inverse, so it is theta-only by design.
+    theta_stl: bool = False
 
     def __post_init__(self):
         cfg = self.cfg
@@ -201,10 +208,21 @@ class VIEngine:
 
         def theta_sample(k):
             # one theta per row of `starts` (usually cfg.p; exports batch more)
-            return self.theta_flow.apply(
+            theta, theta_lq = self.theta_flow.apply(
                 params["theta"], k, starts.shape[0],
                 method=type(self.theta_flow).sample_and_log_prob,
             )
+            if self.theta_stl:
+                # re-evaluate log q at the sampled theta with detached flow
+                # params: gradients reach q only through the reparameterized
+                # sample (the path derivative) — the STL estimator. The MAF
+                # fixed-point solve is exact (strictly triangular), so the
+                # value is unchanged; only the gradient differs.
+                theta_lq = self.theta_flow.apply(
+                    jax.lax.stop_gradient(params["theta"]), theta,
+                    method=type(self.theta_flow).log_prob,
+                )
+            return theta, theta_lq
 
         shard_fn = None
         if self.mesh is not None:
