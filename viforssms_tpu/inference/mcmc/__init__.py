@@ -2,6 +2,7 @@ from viforssms_tpu.inference.mcmc.diagnostics import ess, split_rhat, summarize
 from viforssms_tpu.inference.mcmc.hmc import DualAveragingState, hmc_sample
 from viforssms_tpu.inference.mcmc.nuts import nuts_sample
 from viforssms_tpu.inference.mcmc.nuts_iterative import nuts_sample_iterative
+from viforssms_tpu.inference.mcmc.pmmh import pmmh, pmmh_chains, pmmh_for_model
 
 __all__ = [
     "DualAveragingState",
@@ -9,6 +10,9 @@ __all__ = [
     "hmc_sample",
     "nuts_sample",
     "nuts_sample_iterative",
+    "pmmh",
+    "pmmh_chains",
+    "pmmh_for_model",
     "split_rhat",
     "summarize",
 ]

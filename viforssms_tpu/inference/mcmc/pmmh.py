@@ -1,0 +1,136 @@
+"""Particle marginal Metropolis–Hastings (PMMH) — exact theta inference.
+
+The third gold-standard validator (after HMC/NUTS on the joint and bootstrap
+SMC for fixed-theta evidence; neither exists in the reference, SURVEY.md §4).
+PMMH (Andrieu, Doucet, Holenstein 2010) targets the EXACT marginal posterior
+p(theta | y): a random-walk Metropolis chain over theta whose likelihood is
+the unbiased bootstrap-SMC evidence estimate — the pseudo-marginal property
+makes the chain exact despite the noisy likelihood, so it validates the VI
+theta posterior directly, without flow or joint-path approximations.
+
+TPU shape: the whole chain is ONE ``lax.scan`` (the SMC filter is itself a
+scan nested inside), compiled once; independent chains vmap over a leading
+axis and shard across the mesh like every other sampler here
+(``parallel/mesh.py``). Proposal step size adapts toward the 0.234
+random-walk optimum during warmup by Robbins–Monro on the acceptance
+probability, frozen afterwards (adaptation during sampling would break
+detailed balance).
+
+Pinned in tests/test_pmmh.py against an "ideal MH" chain that swaps the SMC
+estimate for the exact Kalman evidence on AR(1): the two posteriors must
+agree in their moments.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class PMMHResult(NamedTuple):
+    thetas: jax.Array        # (num_steps, D) chain states (includes warmup)
+    log_posts: jax.Array     # (num_steps,) retained log(Z_hat * prior)
+    accepts: jax.Array       # (num_steps,) 0/1 acceptance indicators
+    accept_rate: jax.Array   # mean acceptance over post-warmup steps
+    step_scale: jax.Array    # final adapted global proposal scale
+
+
+@partial(jax.jit, static_argnames=("log_evidence_fn", "log_prior_fn",
+                                   "num_steps", "warmup"))
+def pmmh(
+    key,
+    log_evidence_fn: Callable,   # (key, theta) -> scalar log p_hat(y | theta)
+    log_prior_fn: Callable,      # (theta,) -> scalar log p(theta)
+    theta0,
+    num_steps: int,
+    warmup: int = 0,
+    init_scale: float = 0.1,
+    proposal_scales: Optional[jax.Array] = None,  # (D,) per-coordinate scales
+    target_accept: float = 0.234,
+) -> PMMHResult:
+    """Run one PMMH chain of ``num_steps`` from ``theta0``.
+
+    The current state's evidence estimate is RETAINED across iterations (never
+    refreshed) — required for the pseudo-marginal chain to target the exact
+    posterior. ``proposal_scales`` shapes the random walk per coordinate; the
+    global multiplier ``exp(s)`` starts at ``init_scale`` and adapts during
+    the first ``warmup`` steps only.
+    """
+    theta0 = jnp.asarray(theta0)
+    d = theta0.shape[0]
+    scales = (jnp.ones(d, theta0.dtype) if proposal_scales is None
+              else jnp.asarray(proposal_scales, theta0.dtype))
+
+    key, k0 = jax.random.split(key)
+    lp0 = log_evidence_fn(k0, theta0) + log_prior_fn(theta0)
+
+    def step(carry, i):
+        theta, lp, log_s, k = carry
+        k, k_prop, k_ev, k_acc = jax.random.split(k, 4)
+        prop = theta + jnp.exp(log_s) * scales * jax.random.normal(
+            k_prop, theta.shape, theta.dtype
+        )
+        lp_prop = log_evidence_fn(k_ev, prop) + log_prior_fn(prop)
+        log_alpha = lp_prop - lp
+        # -inf/NaN proposals (e.g. prior support edges) are always rejected
+        log_alpha = jnp.where(jnp.isfinite(log_alpha), log_alpha, -jnp.inf)
+        accept = jnp.log(jax.random.uniform(k_acc, ())) < log_alpha
+        theta = jnp.where(accept, prop, theta)
+        lp = jnp.where(accept, lp_prop, lp)
+        # Robbins–Monro toward target_accept, warmup only
+        p_acc = jnp.minimum(jnp.exp(log_alpha), 1.0)
+        gain = jnp.where(i < warmup, (i.astype(log_s.dtype) + 10.0) ** -0.6, 0.0)
+        log_s = log_s + gain * (p_acc - target_accept)
+        return (theta, lp, log_s, k), (theta, lp, accept)
+
+    init = (theta0, lp0, jnp.log(jnp.asarray(init_scale, theta0.dtype)), key)
+    (theta, lp, log_s, _), (thetas, lps, accepts) = jax.lax.scan(
+        step, init, jnp.arange(num_steps)
+    )
+    post = accepts[warmup:].astype(jnp.float32)
+    return PMMHResult(
+        thetas=thetas,
+        log_posts=lps,
+        accepts=accepts,
+        accept_rate=jnp.mean(post) if num_steps > warmup else jnp.zeros(()),
+        step_scale=jnp.exp(log_s),
+    )
+
+
+def pmmh_for_model(model, obs, obs_bin, x0, theta0, key, num_steps: int,
+                   n_particles: int = 256, warmup: int = 0, **kwargs
+                   ) -> PMMHResult:
+    """PMMH over a scalar-path SSM using its own bootstrap-SMC evidence
+    (``validate.smc_evidence_for_model``) and ``model.log_prior``."""
+    from viforssms_tpu.inference.validate import smc_evidence_for_model
+
+    obs = jnp.asarray(obs)
+    obs_bin = jnp.asarray(obs_bin)
+
+    def log_ev(k, theta):
+        return smc_evidence_for_model(
+            model, obs, obs_bin, x0, theta, n_particles, k
+        ).log_evidence
+
+    def log_prior(theta):
+        return model.log_prior(theta[None, :])[0]
+
+    return pmmh(key, log_ev, log_prior, jnp.asarray(theta0), num_steps,
+                warmup=warmup, **kwargs)
+
+
+def pmmh_chains(key, log_evidence_fn, log_prior_fn, theta0s, num_steps: int,
+                **kwargs) -> PMMHResult:
+    """Independent PMMH chains vmapped over a leading chain axis.
+
+    ``theta0s``: (C, D) initial states. Returns a PMMHResult whose fields all
+    carry the leading chain axis; feed ``thetas`` (post-warmup, pooled) to
+    ``mcmc.diagnostics`` for split R-hat / ESS like the other samplers."""
+    theta0s = jnp.asarray(theta0s)
+    keys = jax.random.split(key, theta0s.shape[0])
+    run = lambda k, t0: pmmh(k, log_evidence_fn, log_prior_fn, t0,
+                             num_steps, **kwargs)
+    return jax.vmap(run)(keys, theta0s)
