@@ -211,6 +211,69 @@ class TestIWAEAgainstKalman:
                                    jax.random.key(1))
 
 
+class TestIWAETraining:
+    def test_loss_is_group_iwae_of_per_particle_elbos(self):
+        eng, _, _ = _whole_series_engine(T=30, p=16)
+        eng.iw_k = 8
+        state = eng.init(jax.random.key(0))
+        starts = jnp.asarray(np.zeros(16, np.int32))
+        key = jax.random.key(5)
+        loss, _ = eng._loss(state.params, key, starts)
+        t = eng._terms(state.params, key, starts)
+        g = np.asarray(t.elbo).reshape(2, 8)
+        m = g.max(axis=1, keepdims=True)
+        iw = (m[:, 0] + np.log(np.mean(np.exp(g - m), axis=1))).mean()
+        np.testing.assert_allclose(float(loss), -iw, rtol=1e-5)
+        # the IWAE loss can only be tighter than the plain ELBO loss
+        assert -float(loss) >= float(np.asarray(t.elbo).mean()) - 1e-5
+
+    def test_grouped_starts_share_windows(self):
+        eng, _, _ = _whole_series_engine(T=30, p=16)
+        eng.iw_k = 4
+        starts = np.asarray(eng._sample_starts(jax.random.key(3)))
+        groups = starts.reshape(-1, 4)
+        assert np.all(groups == groups[:, :1])
+
+    def test_invalid_configs_rejected(self):
+        eng, _, _ = _whole_series_engine(T=30, p=16)
+        with pytest.raises(ValueError, match="divide"):
+            dataclasses.replace(eng, iw_k=3)
+        # windowed (multi-window) engines cannot train on IWAE groups
+        from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
+        from viforssms_tpu.data.features import ar1_tables
+        from viforssms_tpu.data.generate import generate_ar1
+        from viforssms_tpu.inference.vi.train import VIEngine
+        from viforssms_tpu.models.ar1 import AR1
+
+        series = generate_ar1(T=60, impute=2, x0=5.0, theta=(1.0, 0.8, 1.0),
+                              obs_std=0.7, seed=3)
+        cfg = VIConfig(p=8, batch_dims=20, T=60,
+                       flow=FlowConfig(kernel_len=6, no_flows=2,
+                                       network_dims=(8, 8), feat_window=4),
+                       train=TrainConfig())
+        tables, spec = ar1_tables(series.obs, series.obs_bin, series.time_till,
+                                  6, 2, 4, 20, x0=5.0)
+        with pytest.raises(ValueError, match="whole-series"):
+            VIEngine(model=AR1(obs_std=0.7), cfg=cfg, tables=tables, spec=spec,
+                     fix_theta_value=np.zeros(3, np.float32), iw_k=4)
+
+    @pytest.mark.slow
+    def test_iwae_training_reaches_tight_bound(self):
+        eng, series, theta_true = _whole_series_engine(T=40, p=64)
+        eng.iw_k = 8
+        eng._build_steps()
+        state = eng.init(jax.random.key(0))
+        state = eng.pretrain(state, num_steps=40)
+        state, m = eng.fit(state, num_steps=400)
+        assert np.isfinite(float(m.elbo))
+        from viforssms_tpu.inference.kalman import kalman_ar1
+
+        ll = float(kalman_ar1(series.obs, series.obs_bin, theta_true, 5.0, 0.7)[0])
+        rep = vi_quality(eng, state.params, jax.random.key(1), num_batches=16)
+        # IWAE-trained fit must land within a nat of the exact evidence
+        assert rep.iwae > ll - 1.0
+
+
 class TestThetaSTL:
     def test_stl_gradient_vanishes_at_optimum(self):
         """When q == p exactly, every STL per-sample gradient is zero while

@@ -84,6 +84,13 @@ class VIEngine:
     # (tiny) density pass per step. Path-space STL would need the NMA flow's
     # sequential inverse, so it is theta-only by design.
     theta_stl: bool = False
+    # IWAE training (Burda et al. 2016): group the p particles into p/K
+    # groups of K that share one window/series, and maximize the tighter
+    # bound log(1/K sum_k w_k) per group instead of the per-particle ELBO.
+    # Only meaningful when each particle's ELBO is a full log importance
+    # weight — one window spanning the whole series, or series-mode tables
+    # (inference/quality.py has the same requirement). 0/1 = standard ELBO.
+    iw_k: int = 0
 
     def __post_init__(self):
         cfg = self.cfg
@@ -131,6 +138,17 @@ class VIEngine:
         # indices and each window is a whole series (..._learn_theta.py:305-314)
         self.series_mode = self.tables.feat.ndim == 3
         self.num_series = int(self.tables.feat.shape[0]) if self.series_mode else 0
+        if self.iw_k > 1:
+            if self.cfg.p % self.iw_k:
+                raise ValueError(f"iw_k={self.iw_k} must divide p={self.cfg.p}")
+            if not self.series_mode and (
+                self.spec.num_windows != 1 or abs(self.cfg.elbo_scale - 1.0) > 1e-6
+            ):
+                raise ValueError(
+                    "iw_k requires whole-series windows (batch_dims == T) or "
+                    "series-mode tables: sub-window ELBOs are not importance "
+                    "weights of a fixed joint"
+                )
         # with-replacement iff windows don't cover p draws (AR.py:257-260)
         self.replace = cfg.batch_dims * cfg.p >= self.spec.target_dims
         use = self.stack_windows and not self.series_mode
@@ -245,21 +263,32 @@ class VIEngine:
         )
 
     def _sample_starts(self, key):
+        draws = self.cfg.p
+        if self.iw_k > 1:
+            # IWAE groups share one window/series: draw p/K starts, repeat K
+            draws = self.cfg.p // self.iw_k
         if self.series_mode:
             n = self.num_series
-            return jax.random.choice(key, n, shape=(self.cfg.p,), replace=n < self.cfg.p)
-        n = self.spec.num_windows
-        idx = jax.random.choice(
-            key, n, shape=(self.cfg.p,), replace=self.replace
-        )
-        return idx.astype(jnp.int32) * self.cfg.batch_dims
+            starts = jax.random.choice(key, n, shape=(draws,), replace=n < draws)
+        else:
+            n = self.spec.num_windows
+            idx = jax.random.choice(key, n, shape=(draws,), replace=self.replace)
+            starts = idx.astype(jnp.int32) * self.cfg.batch_dims
+        if self.iw_k > 1:
+            starts = jnp.repeat(starts, self.iw_k)
+        return starts
 
     def _loss(self, params, key, starts, tables=None, stacked=None):
         t = self._terms(params, key, starts, tables, stacked)
         elbo = t.elbo
         if self.cfg.train.nan_mask_loss:  # ..._learn_theta.py:482
             elbo = jnp.where(jnp.isnan(elbo), jnp.zeros_like(elbo), elbo)
-        loss = -jnp.mean(elbo)
+        if self.iw_k > 1:
+            # per-group IWAE bound; groups are contiguous (starts repeat K)
+            g = elbo.reshape(-1, self.iw_k)
+            loss = -jnp.mean(jax.nn.logsumexp(g, axis=1) - jnp.log(float(self.iw_k)))
+        else:
+            loss = -jnp.mean(elbo)
         metrics_scale = self.cfg.elbo_scale
         metrics = StepMetrics(
             elbo=-loss,
@@ -504,9 +533,11 @@ class VIEngine:
         ``..._learn_theta.py:602-731``). Requires series-mode tables."""
         assert self.series_mode, "fit_epochs requires series-axis tables"
         p = self.cfg.p
+        group = self.iw_k if self.iw_k > 1 else 1
+        per = p // group  # distinct series per batch (repeated K-fold for IWAE)
         batches = [
-            np.arange(i, i + p, dtype=np.int32)
-            for i in range(0, self.num_series - p + 1, p)
+            np.repeat(np.arange(i, i + per, dtype=np.int32), group)
+            for i in range(0, self.num_series - per + 1, per)
         ]
         idx_mat = jnp.asarray(np.stack(batches))  # (B, p)
         last = None
