@@ -233,7 +233,8 @@ def run_fitz_nag(dat_dir="dat", out_dir="out/fitz_nag", steps=20_000,
 
 def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
                        num_epochs=1010, pre_train_epochs=500, synthetic=False,
-                       num_series=1024, p_val=128, learn_obs_scale=False):
+                       num_series=1024, p_val=128, learn_obs_scale=False,
+                       iw_k=0, theta_stl=False, quality=False):
     """Batched learn-theta LV over independent series (..._learn_theta.py:778-877)."""
     import jax
 
@@ -289,7 +290,8 @@ def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
         model = LotkaVolterraLearnTheta(dt=dt, prior_mean=prior_mean,
                                         prior_sigma=prior_sigma, x0_mean=x0_mean,
                                         x0_std=x0_std)
-    eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True)
+    eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True,
+                   iw_k=iw_k, theta_stl=theta_stl)
 
     os.makedirs(out_dir, exist_ok=True)
     state = eng.init(jax.random.key(1))
@@ -316,6 +318,23 @@ def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
     save_paths_txt(os.path.join(out_dir, "posterior_paths.txt"), paths)
     save_theta_txt(os.path.join(out_dir, "theta_posterior.txt"),
                    eng.sample_theta(state.params, jax.random.key(5), 100_000))
+    if quality:
+        # per-series importance-weighted fit check (inference/quality.py):
+        # PSIS k-hat verdict + IWAE bound on the first few series
+        import json
+
+        from viforssms_tpu.inference.quality import vi_quality
+
+        reports = {}
+        for si in range(min(4, eng.num_series)):
+            rep = vi_quality(eng, state.params, jax.random.key(100 + si),
+                             num_batches=8, series_index=si)
+            reports[f"series_{si}"] = rep.as_dict()
+            print(f"quality[series {si}]: k_hat={rep.k_hat:.3f} ({rep.flag}) "
+                  f"ELBO={rep.elbo:.2f} IWAE={rep.iwae:.2f} ESS={rep.ess:.0f}",
+                  flush=True)
+        with open(os.path.join(out_dir, "quality.json"), "w") as f:
+            json.dump(reports, f, indent=1)
     if os.environ.get("VIFORSSMS_ARTIFACTS"):
         # series-mode bundle: one posterior path per series at serve time
         from viforssms_tpu.serving import export_posterior, save_artifacts
@@ -475,6 +494,16 @@ def main(argv=None):
     lt.add_argument("--p-val", type=int, default=128)
     lt.add_argument("--learn-obs-scale", action="store_true",
                     help="4-param theta incl. obs-noise factor (lotka_volterra_latest.py)")
+    lt.add_argument("--iw-k", type=int, default=0,
+                    help="IWAE training: particles group in Ks sharing one "
+                         "series, maximizing the tighter importance-weighted "
+                         "bound (0 = standard ELBO)")
+    lt.add_argument("--theta-stl", action="store_true",
+                    help="Sticking-the-landing theta gradients (lower variance "
+                         "near convergence)")
+    lt.add_argument("--quality", action="store_true",
+                    help="After training, print/write PSIS k-hat + IWAE fit "
+                         "diagnostics per series (quality.json)")
 
     sw = sub.add_parser("lv-series-sweep",
                         help="Fault-tolerant per-series sweep "
@@ -515,7 +544,9 @@ def main(argv=None):
         run_lv_learn_theta(args.dat_dir, args.out, args.epochs,
                            args.pre_train_epochs, args.synthetic,
                            args.num_series, args.p_val,
-                           learn_obs_scale=args.learn_obs_scale)
+                           learn_obs_scale=args.learn_obs_scale,
+                           iw_k=args.iw_k, theta_stl=args.theta_stl,
+                           quality=args.quality)
     elif args.cmd == "lv-series-sweep":
         run_series_sweep(args.dat_dir, args.out, args.num_series, args.target,
                          args.steps, args.pre_train,
