@@ -36,7 +36,7 @@ def main():
     apply_platform_env()
 
     from viforssms_tpu.data.generate import generate_ar1
-    from viforssms_tpu.inference.mcmc.nuts_iterative import nuts_sample_iterative
+    from viforssms_tpu.inference.mcmc.nuts import nuts_sample
     from viforssms_tpu.inference.validate import ssm_log_joint
     from viforssms_tpu.models.ar1 import AR1
 
@@ -54,7 +54,7 @@ def main():
 
     def run(key):
         # chains are vmapped internally (init has a leading chain axis)
-        return nuts_sample_iterative(
+        return nuts_sample(
             log_joint, init, key, num_samples=args.samples,
             num_warmup=args.warmup, step_size=0.01, adapt_mass=True)[0]
 

@@ -1,0 +1,806 @@
+"""Gold-standard validation of the VI stack at ALL FIVE BASELINE reference
+configurations (BASELINE.md, BASELINE.json:5).
+
+The acceptance bar: theta & latent-path posterior means within 2 MC-SE of a
+matching gold standard, with the MC-SE built from REAL autocorrelation ESS
+(``inference/validate.compare_moments``). Per config:
+
+| config          | reference source                          | gold standard |
+|-----------------|-------------------------------------------|---------------|
+| ar1             | hyperparameters.txt / AR.py:408-418       | exact-evidence MH over theta (Kalman) + FFBS joint path draws |
+| lv-partial      | lotka_volterra_partial.py:467-477         | path NUTS at the pinned theta (tight 1e-4 priors) + PMMH on the loose-prior learnable-theta recovery config |
+| sv              | SV_dense.py:404-418 (real dat/SV.dat)     | joint NUTS over [theta(4), x_{1:1508}] |
+| fhn             | fitz_nag_NVP.py:453-468 (synthetic, scaled T) | joint NUTS over [theta(5), x_{1:2T}] |
+| lv-learn-theta  | ..._learn_theta.py:787-802 (1024 series)  | per-series PMMH (exact single-series posteriors) + MH on the objective's implied tempered target |
+
+Every result lands in ``validation/<config>.json``; ``report`` assembles
+``VALIDATION.md``. Training states are checkpointed under
+``validation/<config>/ckpt`` so re-runs skip the VI fit.
+
+Run:  python scripts/validate_baseline.py all        (hours on one chip)
+      python scripts/validate_baseline.py ar1 --fast (CI-scale smoke)
+      python scripts/validate_baseline.py report
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VAL_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "validation")
+
+
+# ---------------------------------------------------------------------------
+# shared plumbing
+# ---------------------------------------------------------------------------
+
+def _train_or_restore(eng, cfg_dir, pretrain=None, finite_gate=None,
+                      num_steps=20_000, seed=1, epochs=None, pre_epochs=0):
+    """Fit the VI engine (or restore a finished state from cfg_dir/ckpt)."""
+    import jax
+
+    from viforssms_tpu.utils.checkpoint import Checkpointer
+
+    os.makedirs(cfg_dir, exist_ok=True)
+    ckpt = Checkpointer(os.path.join(cfg_dir, "ckpt"))
+    state = eng.init(jax.random.key(seed))
+    restored = ckpt.restore(state)
+    if restored is not None and int(restored.step) > 0:
+        print(f"[{cfg_dir}] restored VI state at step {int(restored.step)}",
+              flush=True)
+        return restored
+    t0 = time.time()
+    if epochs is not None:
+        state, _ = eng.fit_epochs(state, num_epochs=epochs,
+                                  pre_train_epochs=pre_epochs)
+    else:
+        state = eng.pretrain(state, num_steps=pretrain, finite_gate=finite_gate,
+                             scan_chunk=50)
+        state, _ = eng.fit(state, num_steps=num_steps, scan_chunk=250)
+    print(f"[{cfg_dir}] VI trained in {time.time() - t0:.0f}s", flush=True)
+    ckpt.save(state)
+    return state
+
+
+def _chain_diag(draws_ncd):
+    """(num_samples, num_chains, d) -> dict of rhat/ess arrays."""
+    from viforssms_tpu.inference.mcmc.diagnostics import ess, split_rhat
+
+    return {"rhat": split_rhat(draws_ncd).tolist(),
+            "ess": ess(draws_ncd).tolist()}
+
+
+def _theta_block(vi_theta, gold_ncd, names):
+    """Theta moment comparison: MC z-scores AND posterior-sd-relative bias."""
+    from viforssms_tpu.inference.validate import compare_moments
+
+    cmp = compare_moments(vi_theta, gold_ncd)
+    gold_flat = np.asarray(gold_ncd, np.float64).reshape(-1, vi_theta.shape[-1])
+    sd = gold_flat.std(0) + 1e-12
+    return {
+        "names": list(names),
+        "vi_mean": cmp.mean_a.tolist(),
+        "vi_sd": np.asarray(vi_theta).std(0).tolist(),
+        "gold_mean": cmp.mean_b.tolist(),
+        "gold_sd": sd.tolist(),
+        "z_mc": cmp.z.tolist(),                      # |Δmean| / combined MC-SE
+        "bias_in_posterior_sd": (np.abs(cmp.mean_a - cmp.mean_b) / sd).tolist(),
+        "ess_vi": cmp.ess_a.tolist(),
+        "ess_gold": cmp.ess_b.tolist(),
+        "diag": _chain_diag(gold_ncd),
+    }
+
+
+def _path_block(vi_paths, gold_paths):
+    """Path-mean comparison across ALL steps: z summary + sd-relative bias."""
+    from viforssms_tpu.inference.validate import compare_moments
+
+    vi = np.asarray(vi_paths, np.float64).reshape(vi_paths.shape[0], -1)
+    cmp = compare_moments(vi, gold_paths)
+    gold_flat = np.asarray(gold_paths, np.float64).reshape(-1, vi.shape[-1])
+    sd = gold_flat.std(0) + 1e-12
+    bias_sd = np.abs(cmp.mean_a - cmp.mean_b) / sd
+    return {
+        "coords": int(vi.shape[-1]),
+        "z_median": float(np.median(cmp.z)),
+        "z_frac_gt2": float(np.mean(cmp.z > 2.0)),
+        "z_max": float(np.max(cmp.z)),
+        "bias_sd_median": float(np.median(bias_sd)),
+        "bias_sd_max": float(np.max(bias_sd)),
+        "mean_abs_diff": float(np.mean(np.abs(cmp.mean_a - cmp.mean_b))),
+    }
+
+
+def _save(name, result):
+    os.makedirs(VAL_DIR, exist_ok=True)
+    result["config"] = name
+    result["timestamp"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(os.path.join(VAL_DIR, f"{name}.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"saved validation/{name}.json", flush=True)
+
+
+def _vi_paths_batched(eng, params, key, num_batches):
+    import jax
+
+    outs = []
+    for i in range(num_batches):
+        key, sub = jax.random.split(key)
+        outs.append(np.asarray(eng.sample_posterior_paths(params, sub)))
+    return np.concatenate(outs, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# AR(1): exact-evidence MH + FFBS
+# ---------------------------------------------------------------------------
+
+def validate_ar1(fast=False):
+    import jax
+    import jax.numpy as jnp
+
+    from viforssms_tpu.cli.main import DEFAULT_HYPERPARAMETERS, build_ar1, parseparams
+    from viforssms_tpu.inference.kalman import ffbs_ar1, kalman_ar1
+    from viforssms_tpu.inference.mcmc.pmmh import pmmh_chains
+
+    hp = os.path.join(VAL_DIR, "ar1", "hp.txt")
+    os.makedirs(os.path.dirname(hp), exist_ok=True)
+    with open(hp, "w") as f:
+        f.write(DEFAULT_HYPERPARAMETERS)
+    params = parseparams(hp)
+    if fast:
+        params["T"] = 400
+    eng, series = build_ar1(params, seed=1)
+    x0, obs_std = params["x0"], params["obs_std"]
+    steps = 2_000 if fast else 20_000
+    state = _train_or_restore(eng, os.path.join(VAL_DIR, "ar1"),
+                              pretrain=100 if fast else 500, num_steps=steps)
+
+    obs = jnp.asarray(series.obs)
+    obs_bin = jnp.asarray(series.obs_bin)
+
+    # --- gold theta: MH with the EXACT Kalman evidence (zero pseudo-noise) ---
+    def log_ev(_key, th):
+        return kalman_ar1(obs, obs_bin, (th[0], th[1], th[2]), x0, obs_std)[0]
+
+    def log_prior(th):
+        return eng.model.log_prior(th[None, :])[0]
+
+    C = 4
+    n_mh = 3_000 if fast else 16_000
+    warm = 1_000 if fast else 4_000
+    truth = (params["theta"][0], params["theta"][1], float(np.log(params["theta"][2])))
+    theta0s = jnp.asarray(truth)[None, :] + 0.2 * jax.random.normal(
+        jax.random.key(7), (C, 3))
+    t0 = time.time()
+    res = pmmh_chains(jax.random.key(8), log_ev, log_prior, theta0s, n_mh,
+                      warmup=warm, proposal_scales=jnp.asarray([0.1, 0.01, 0.02]),
+                      init_scale=1.0)
+    chains = np.asarray(res.thetas)[:, warm:, :]          # (C, n, 3)
+    gold = np.transpose(chains, (1, 0, 2))                # (n, C, 3)
+    print(f"ar1 exact-MH: {C}x{n_mh} steps in {time.time()-t0:.0f}s, "
+          f"accept={np.asarray(res.accept_rate).mean():.2f}", flush=True)
+
+    vi_theta = eng.sample_theta(state.params, jax.random.key(11), 20_000)
+    theta = _theta_block(vi_theta, gold, ("theta0", "theta1", "log_sigma"))
+
+    # --- gold paths: FFBS at thinned exact-posterior thetas (joint draws) ---
+    n_path = 128 if fast else 512
+    pool = gold.reshape(-1, 3)
+    idx = np.linspace(0, len(pool) - 1, n_path).astype(int)
+    thetas_thin = jnp.asarray(pool[idx])
+
+    def one(th, k):
+        return ffbs_ar1(k, obs, obs_bin, (th[0], th[1], th[2]), x0, obs_std, 1)[0]
+
+    gold_paths = np.asarray(jax.vmap(one)(
+        thetas_thin, jax.random.split(jax.random.key(12), n_path)))
+    vi_paths = _vi_paths_batched(eng, state.params, jax.random.key(13),
+                                 2 if fast else 8)
+    paths = _path_block(vi_paths, gold_paths)
+
+    _save("ar1", {
+        "gold_standard": "exact-evidence MH over theta (Kalman) + FFBS joint path draws",
+        "reference": "hyperparameters.txt:1-28, AR.py:408-418",
+        "fast": fast, "T": params["T"], "vi_steps": steps,
+        "theta": theta, "paths": paths,
+        "pass": bool(max(theta["z_mc"]) < 2.0 or max(theta["bias_in_posterior_sd"]) < 0.5),
+    })
+
+
+# ---------------------------------------------------------------------------
+# LV partial: path NUTS at pinned theta + PMMH on learnable-theta recovery
+# ---------------------------------------------------------------------------
+
+def validate_lv_partial(fast=False):
+    import jax
+    import jax.numpy as jnp
+
+    from viforssms_tpu.cli.experiments import build_lv_partial
+    from viforssms_tpu.distributions.bijectors import Softplus
+    from viforssms_tpu.inference.mcmc.nuts import nuts_sample
+    from viforssms_tpu.inference.validate import ssm2d_path_log_posterior
+
+    eng, info = build_lv_partial()
+    steps = 2_000 if fast else 30_000
+    state = _train_or_restore(eng, os.path.join(VAL_DIR, "lv_partial"),
+                              finite_gate=200 if fast else 1000, num_steps=steps)
+
+    obs, obs_bin = info["obs"], info["obs_bin"]
+    T = info["target"]
+    theta_pin = np.asarray(info["theta_prior_mean"], np.float32)
+
+    # --- gold paths: NUTS on p(x | y, theta_pin) in softplus space ---
+    logp = ssm2d_path_log_posterior(eng.model, obs, obs_bin, info["x0"],
+                                    theta_pin, path_transform=Softplus())
+    sp = Softplus()
+    # init: interpolate the observed values per dim, then map to u-space
+    x_init = np.empty((2, T))
+    for dim in range(2):
+        t_obs = np.where(obs_bin[dim] > 0)[0]
+        x_init[dim] = np.interp(np.arange(T), t_obs, obs[dim][t_obs])
+    u_init = np.asarray(sp.inverse(jnp.asarray(np.maximum(x_init, 0.5))))
+    C = 4
+    init = jnp.asarray(u_init.reshape(1, -1)) + 0.05 * jax.random.normal(
+        jax.random.key(20), (C, 2 * T))
+    n_s = 300 if fast else 1_200
+    n_w = 300 if fast else 800
+    t0 = time.time()
+    samples, diag = nuts_sample(logp, init, jax.random.key(21), num_samples=n_s,
+                                num_warmup=n_w, step_size=0.02, max_depth=9,
+                                adapt_mass=True)
+    print(f"lv-partial path NUTS: {C}x{n_s} in {time.time()-t0:.0f}s, "
+          f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}", flush=True)
+    gold_u = np.asarray(samples)                          # (n, C, 2T)
+    gold_paths = np.asarray(sp.forward(jnp.asarray(gold_u)))
+    vi_paths = _vi_paths_batched(eng, state.params, jax.random.key(22),
+                                 2 if fast else 8)        # (S, 2, T)
+    paths = _path_block(vi_paths.reshape(vi_paths.shape[0], -1),
+                        gold_paths)
+
+    # --- theta at the reference config is prior-pinned (scale 1e-4): direct check
+    vi_theta = eng.sample_theta(state.params, jax.random.key(23), 20_000)
+    dm = np.abs(vi_theta.mean(0) - theta_pin)
+    theta_pinned = {
+        "vi_mean": vi_theta.mean(0).tolist(),
+        "prior_mean": theta_pin.tolist(),
+        "abs_diff": dm.tolist(),
+        "prior_scale": 1e-4,
+        "note": "prior scale 1e-4 pins theta; |VI mean - prior mean| reported "
+                "in log-rate units (lotka_volterra_partial.py:476)",
+    }
+
+    # --- learnable-theta recovery config (loose 0.3 priors): PMMH cross-check
+    pm = _lv_loose_pmmh(fast)
+
+    _save("lv_partial", {
+        "gold_standard": "path NUTS at pinned theta + PMMH on loose-prior learnable-theta config",
+        "reference": "lotka_volterra_partial.py:467-477",
+        "fast": fast, "vi_steps": steps,
+        "paths": paths, "theta_pinned": theta_pinned,
+        "theta_learnable_pmmh": pm,
+        "pass": bool(paths["bias_sd_median"] < 0.5),
+    })
+
+
+def _lv_loose_pmmh(fast=False):
+    """PMMH vs VI on the loose-prior LV recovery config (the seeds-2..5
+    flagship, scripts/aligned_study.py) — exact marginal theta posterior via
+    bootstrap-SMC evidence on the model's own transition sampler."""
+    import jax
+    import jax.numpy as jnp
+
+    from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
+    from viforssms_tpu.data.features import lv_tables
+    from viforssms_tpu.data.generate import partial_observe_2d, simulate_lv
+    from viforssms_tpu.inference.mcmc.diagnostics import ess, split_rhat
+    from viforssms_tpu.inference.mcmc.pmmh import pmmh_chains
+    from viforssms_tpu.inference.smc import bootstrap_filter
+    from viforssms_tpu.inference.vi.train import VIEngine
+    from viforssms_tpu.models.lotka_volterra import LotkaVolterra
+
+    truth = np.asarray([0.5, 0.0025, 0.3])
+    dt, target, x0 = 0.1, 500, (100.0, 100.0)
+    x = simulate_lv(tuple(truth), x0=x0, dt=dt, T=target * dt, seed=1)
+    obs, obs_bin, tt = partial_observe_2d(x, every=10, obs_std=1.0, seed=2)
+    p, kernel_len, batch_dims, no_flows, fw = 50, 20, 50, 3, 10
+    cfg = VIConfig(
+        p=p, batch_dims=batch_dims, T=target,
+        flow=FlowConfig(kernel_len=kernel_len, no_flows=no_flows,
+                        network_dims=(50,) * 5, feat_window=fw, flow_dims=2),
+        train=TrainConfig(learn_rate=1e-3, grad_clip=1e9, nan_mask_loss=True),
+        theta_num_bijectors=4,
+    )
+    tables, spec = lv_tables(obs, obs_bin, tt * dt, kernel_len, no_flows, fw,
+                             batch_dims, x0=x0, dt=dt)
+    model = LotkaVolterra(dt=dt, prior_mean=tuple(np.log(truth)),
+                          prior_scale=(0.3,) * 3, jitter=1e-3)
+    eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True)
+    steps = 2_000 if fast else 20_000
+    state = _train_or_restore(eng, os.path.join(VAL_DIR, "lv_loose"),
+                              finite_gate=200 if fast else 1000, num_steps=steps)
+    vi_theta = eng.sample_theta(state.params, jax.random.key(31), 20_000)
+
+    # PMMH over log-rates with the model's own EM transition + N(x,1) obs
+    n_part = 512 if fast else 1024
+    obs_T = jnp.asarray(obs.T)
+    mask = jnp.asarray(obs_bin[0])
+    init_particles = jnp.tile(jnp.asarray([x0]), (n_part, 1))
+
+    def log_ev(key, log_theta):
+        rates = jnp.exp(log_theta)
+
+        def transition(k, particles):
+            return model.transition_sample(k, particles, rates)
+
+        def obs_lp(y, particles):
+            return -0.5 * jnp.sum((y - particles) ** 2, axis=-1) \
+                - jnp.log(2 * jnp.pi)
+
+        return bootstrap_filter(init_particles, transition, obs_lp, obs_T,
+                                mask, key).log_evidence
+
+    def log_prior(log_theta):
+        return model.log_prior(log_theta[None, :])[0]
+
+    C = 4
+    n_mh = 1_500 if fast else 6_000
+    warm = 500 if fast else 2_000
+    theta0s = jnp.asarray(np.log(truth))[None, :] + 0.1 * jax.random.normal(
+        jax.random.key(32), (C, 3))
+    t0 = time.time()
+    res = pmmh_chains(jax.random.key(33), log_ev, log_prior, theta0s, n_mh,
+                      warmup=warm,
+                      proposal_scales=jnp.asarray([0.05, 0.05, 0.05]),
+                      init_scale=1.0)
+    print(f"lv-loose PMMH: {C}x{n_mh} in {time.time()-t0:.0f}s, "
+          f"accept={np.asarray(res.accept_rate).mean():.2f}", flush=True)
+    gold = np.transpose(np.asarray(res.thetas)[:, warm:, :], (1, 0, 2))
+    block = _theta_block(vi_theta, gold, ("log_r1", "log_r2", "log_r3"))
+    block["truth_log_rates"] = np.log(truth).tolist()
+    block["vi_steps"] = steps
+    return block
+
+
+# ---------------------------------------------------------------------------
+# SV: joint NUTS over [theta(4), latent log-vol path]
+# ---------------------------------------------------------------------------
+
+def validate_sv(fast=False):
+    import jax
+    import jax.numpy as jnp
+
+    from viforssms_tpu.cli.experiments import build_sv_dense
+    from viforssms_tpu.inference.mcmc.nuts import nuts_sample
+
+    eng, info = build_sv_dense()
+    steps = 2_000 if fast else 20_000
+    state = _train_or_restore(eng, os.path.join(VAL_DIR, "sv"),
+                              pretrain=200 if fast else 1000, num_steps=steps)
+
+    obs = jnp.asarray(info["obs"])     # (target+1,) log prices, all observed
+    T = info["target"]
+    x0_lat = info["x0"]
+    model = eng.model
+
+    def log_joint(q):
+        theta = q[:4][None, :]
+        lat = jnp.concatenate([jnp.asarray([x0_lat], q.dtype), q[4:]])
+        x = jnp.stack([obs, lat])[None]          # (1, 2, T+1)
+        sde = model.transition_log_prob(x, theta)
+        prior = model.log_prior(theta)
+        return (sde + prior)[0]
+
+    # chains 0-1 start from the VI posterior (mean path), chains 2-3 from the
+    # pre-train anchor region — R-hat across them is itself an agreement test
+    vi_paths = _vi_paths_batched(eng, state.params, jax.random.key(41),
+                                 1)              # (p, 2, T); latent is dim 1
+    vi_lat_mean = vi_paths[:, 1, :].mean(0)
+    vi_theta = eng.sample_theta(state.params, jax.random.key(42), 20_000)
+    anchor = np.asarray(model.pretrain_theta_anchor, np.float32)
+    C = 4
+    init = np.empty((C, 4 + T), np.float32)
+    rng = np.random.RandomState(0)
+    for c in range(C):
+        if c < 2:
+            init[c, :4] = vi_theta.mean(0) + 0.02 * rng.normal(size=4)
+            init[c, 4:] = vi_lat_mean + 0.05 * rng.normal(size=T)
+        else:
+            init[c, :4] = anchor + 0.05 * rng.normal(size=4)
+            init[c, 4:] = model.pretrain_target + 0.2 * rng.normal(size=T)
+    n_s = 300 if fast else 1_500
+    n_w = 300 if fast else 1_000
+    t0 = time.time()
+    samples, diag = nuts_sample(log_joint, jnp.asarray(init),
+                                jax.random.key(43), num_samples=n_s,
+                                num_warmup=n_w, step_size=0.01, max_depth=9,
+                                adapt_mass=True)
+    print(f"sv joint NUTS: {C}x{n_s} in {time.time()-t0:.0f}s, "
+          f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}", flush=True)
+    gold = np.asarray(samples)                    # (n, C, 4+T)
+    theta = _theta_block(vi_theta, gold[:, :, :4],
+                         ("t0_drift", "t1_mean", "t2_rate", "t3_vol"))
+    vi_lat = _vi_paths_batched(eng, state.params, jax.random.key(44),
+                               2 if fast else 6)[:, 1, :]
+    paths = _path_block(vi_lat, gold[:, :, 4:])
+
+    _save("sv", {
+        "gold_standard": "joint NUTS over [theta(4), x_{1:T}] on dat/SV.dat",
+        "reference": "SV_dense.py:404-418",
+        "fast": fast, "T": T, "vi_steps": steps,
+        "theta": theta, "paths": paths,
+        "pass": bool(max(theta["bias_in_posterior_sd"]) < 1.0),
+    })
+
+
+# ---------------------------------------------------------------------------
+# FHN: joint NUTS at a converged (scaled-T) config
+# ---------------------------------------------------------------------------
+
+def validate_fhn(fast=False, T_units=200.0, steps=60_000):
+    import jax
+    import jax.numpy as jnp
+
+    from viforssms_tpu.cli.experiments import build_fitz_nag
+    from viforssms_tpu.inference.mcmc.nuts import nuts_sample
+    from viforssms_tpu.inference.validate import ssm2d_log_joint
+
+    if fast:
+        T_units, steps = 30.0, 3_000
+    eng, info = build_fitz_nag(synthetic=True, T=T_units)
+    state = _train_or_restore(eng, os.path.join(VAL_DIR, "fhn"),
+                              finite_gate=200 if fast else 1000,
+                              num_steps=steps)
+    obs, obs_bin = info["obs"], info["obs_bin"]
+    T = info["target"]
+    theta_true = np.asarray(info["theta_true"], np.float32)
+
+    log_joint = ssm2d_log_joint(eng.model, obs, obs_bin, info["x0"])
+    # init paths from interpolated observations (both dims observed at obs
+    # steps in the synthetic protocol), theta from the pre-train anchor
+    x_init = np.empty((2, T))
+    for dim in range(2):
+        t_obs = np.where(obs_bin[dim] > 0)[0]
+        x_init[dim] = np.interp(np.arange(T), t_obs, obs[dim][t_obs])
+    anchor = np.asarray(eng.model.pretrain_theta_anchor, np.float32)
+    C = 4
+    rng = np.random.RandomState(1)
+    init = np.concatenate([
+        np.tile(anchor, (C, 1)) + 0.05 * rng.normal(size=(C, 5)),
+        np.tile(x_init.reshape(1, -1), (C, 1)) + 0.05 * rng.normal(size=(C, 2 * T)),
+    ], axis=1).astype(np.float32)
+    n_s = 300 if fast else 1_500
+    n_w = 300 if fast else 1_000
+    t0 = time.time()
+    samples, diag = nuts_sample(log_joint, jnp.asarray(init),
+                                jax.random.key(51), num_samples=n_s,
+                                num_warmup=n_w, step_size=0.01, max_depth=9,
+                                adapt_mass=True)
+    print(f"fhn joint NUTS: {C}x{n_s} in {time.time()-t0:.0f}s, "
+          f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}", flush=True)
+    gold = np.asarray(samples)
+    vi_theta = eng.sample_theta(state.params, jax.random.key(52), 20_000)
+    theta = _theta_block(vi_theta, gold[:, :, :5],
+                         ("log_eps", "alpha", "beta", "log_s1", "log_s2"))
+    theta["truth"] = theta_true.tolist()
+    vi_paths = _vi_paths_batched(eng, state.params, jax.random.key(53),
+                                 2 if fast else 6)
+    paths = _path_block(vi_paths.reshape(vi_paths.shape[0], -1),
+                        gold[:, :, 5:])
+
+    _save("fhn", {
+        "gold_standard": "joint NUTS over [theta(5), x_{1:2T}] on synthetic FHN",
+        "reference": "fitz_nag_NVP.py:453-468 (T scaled to "
+                     f"{T_units} time units = {T} steps)",
+        "fast": fast, "T_steps": T, "vi_steps": steps,
+        "theta": theta, "paths": paths,
+        "pass": bool(max(theta["bias_in_posterior_sd"]) < 1.0),
+    })
+
+
+# ---------------------------------------------------------------------------
+# LV learn-theta (batched): per-series PMMH + tempered-target MH
+# ---------------------------------------------------------------------------
+
+def _learn_theta_smc_pieces(model, n_part):
+    """Transition/obs/x0 pieces for bootstrap SMC under the terminal
+    learn-theta model: EM transition on positive rates, multiplicative
+    transformed obs noise (..._learn_theta.py:355-361), x0 sampled from its
+    softplus-chain prior (..._learn_theta.py:413-425)."""
+    import jax
+    import jax.numpy as jnp
+
+    from viforssms_tpu.distributions.normal import normal_logpdf
+    from viforssms_tpu.models.lotka_volterra import _SDE_CHAIN, lv_chol, lv_drift
+
+    def init_particles(key):
+        mean = jnp.asarray(model.x0_mean)
+        std = jnp.asarray(model.x0_std)
+        u = mean + std * jax.random.normal(key, (n_part, 2))
+        return _SDE_CHAIN.forward(u)
+
+    def transition(key, particles, rates):
+        t0, t1, t2 = rates
+        x1, x2 = particles[:, 0], particles[:, 1]
+        a1, a2 = lv_drift(x1, x2, t0, t1, t2)
+        ca, cb, cc = lv_chol(x1, x2, t0, t1, t2)
+        z = jax.random.normal(key, particles.shape)
+        sdt = jnp.sqrt(model.dt)
+        d1 = model.dt * a1 + sdt * ca * z[:, 0]
+        d2 = model.dt * a2 + sdt * (cb * z[:, 0] + cc * z[:, 1])
+        return jnp.maximum(jnp.stack([x1 + d1, x2 + d2], axis=1), 1.0 + 1e-4)
+
+    def obs_lp(y, particles):
+        # y (2,): observed values; y ~ CHAIN(N(x, factor*x))
+        u = _SDE_CHAIN.inverse(y)
+        ildj = _SDE_CHAIN.inverse_log_det(y)
+        scale = model.obs_noise_factor * particles
+        lp = normal_logpdf(u[None, :], particles, scale) + ildj[None, :]
+        return jnp.sum(lp, axis=-1)
+
+    return init_particles, transition, obs_lp
+
+
+def validate_lv_learn_theta(fast=False):
+    import jax
+    import jax.numpy as jnp
+
+    from viforssms_tpu.cli.experiments import build_lv_learn_theta
+    from viforssms_tpu.distributions.bijectors import Softplus
+    from viforssms_tpu.inference.mcmc.pmmh import pmmh_chains
+    from viforssms_tpu.inference.smc import bootstrap_filter
+    from viforssms_tpu.models.lotka_volterra import _SDE_CHAIN
+
+    num_series = 64 if fast else 1024
+    eng, info = build_lv_learn_theta(synthetic=True, num_series=num_series,
+                                     p_val=32 if fast else 128)
+    state = _train_or_restore(eng, os.path.join(VAL_DIR, "lv_learn_theta"),
+                              epochs=60 if fast else 1010,
+                              pre_epochs=30 if fast else 500)
+    vi_theta = eng.sample_theta(state.params, jax.random.key(61), 20_000)
+
+    model = eng.model
+    # flattened (2, num_series * target) layout -> (2, num_series, target);
+    # all `target` columns are y_{1:T} aligned against x_{1:T} (x0 carries
+    # its own prior slot in the window — elbo.obs_from_features)
+    L = info["obs"].shape[1] // num_series
+    obs = info["obs"].reshape(2, num_series, L)
+    obs_bin = info["obs_bin"].reshape(2, num_series, L)
+
+    sp = Softplus()
+    prior_mean_u = jnp.asarray(model.prior_mean)
+    prior_sigma_u = jnp.asarray(model.prior_sigma)
+    n_part = 256 if fast else 512
+
+    init_particles, transition, obs_lp = _learn_theta_smc_pieces(model, n_part)
+
+    def series_evidence(key, u_theta, ys, mask):
+        """log p_hat(y_series | theta) with x0 integrated by prior sampling."""
+        rates = sp.forward(u_theta)
+        k_init, k_f = jax.random.split(key)
+
+        def trans(k, particles):
+            return transition(k, particles, (rates[0], rates[1], rates[2]))
+
+        return bootstrap_filter(init_particles(k_init), trans, obs_lp, ys,
+                                mask, k_f).log_evidence
+
+    def log_prior_u(u):
+        return jnp.sum(-0.5 * ((u - prior_mean_u) / prior_sigma_u) ** 2
+                       - jnp.log(prior_sigma_u) - 0.5 * jnp.log(2 * jnp.pi))
+
+    # --- (a) per-series PMMH: exact single-series posteriors ---
+    C = 2
+    n_mh = 1_000 if fast else 5_000
+    warm = 400 if fast else 1_500
+    per_series = []
+    for si in range(2 if fast else 4):
+        ys = jnp.asarray(obs[:, si, :].T)           # (target, 2)
+        mask = jnp.asarray(obs_bin[0, si, :])
+
+        def log_ev(key, u):
+            return series_evidence(key, u, ys, mask)
+
+        theta0s = prior_mean_u[None, :] + 0.1 * jax.random.normal(
+            jax.random.key(70 + si), (C, 3))
+        t0 = time.time()
+        res = pmmh_chains(jax.random.key(80 + si), log_ev, log_prior_u,
+                          theta0s, n_mh, warmup=warm,
+                          proposal_scales=jnp.asarray([0.1, 0.1, 0.1]),
+                          init_scale=1.0)
+        gold_u = np.transpose(np.asarray(res.thetas)[:, warm:, :], (1, 0, 2))
+        gold_rates = np.log1p(np.exp(gold_u))       # softplus
+        per_series.append({
+            "series": si,
+            "posterior_rate_mean": gold_rates.reshape(-1, 3).mean(0).tolist(),
+            "posterior_rate_sd": gold_rates.reshape(-1, 3).std(0).tolist(),
+            "accept": float(np.asarray(res.accept_rate).mean()),
+            "diag": _chain_diag(gold_u),
+            "wall_s": round(time.time() - t0, 1),
+        })
+        print(f"learn-theta PMMH series {si}: rate means "
+              f"{per_series[-1]['posterior_rate_mean']}", flush=True)
+
+    # --- (b) tempered target: the VI objective's implied optimum is
+    # posterior ∝ prior(theta) * exp(mean_series log p(y_s | theta)) — ONE
+    # average series of likelihood (series are sampled uniformly per particle
+    # with no N-multiplier, inference/vi/train.py _sample_starts /
+    # ..._learn_theta.py:305-314). MH on that target (SMC-estimated,
+    # documented approximation) quantifies the "prior pull".
+    M = 8 if fast else 16
+    sub = np.linspace(0, num_series - 1, M).astype(int)
+    ys_sub = jnp.asarray(obs[:, sub, :].transpose(1, 2, 0))    # (M, target, 2)
+    mask_sub = jnp.asarray(obs_bin[0, sub, :])                 # (M, target)
+
+    def log_ev_mean(key, u):
+        keys = jax.random.split(key, M)
+        evs = jax.vmap(lambda k, y, m: series_evidence(k, u, y, m))(
+            keys, ys_sub, mask_sub)
+        return jnp.mean(evs)
+
+    n_mh2 = 800 if fast else 4_000
+    warm2 = 300 if fast else 1_200
+    theta0s = prior_mean_u[None, :] + 0.1 * jax.random.normal(
+        jax.random.key(90), (C, 3))
+    t0 = time.time()
+    res = pmmh_chains(jax.random.key(91), log_ev_mean, log_prior_u, theta0s,
+                      n_mh2, warmup=warm2,
+                      proposal_scales=jnp.asarray([0.15, 0.15, 0.15]),
+                      init_scale=1.0)
+    print(f"learn-theta tempered MH: {C}x{n_mh2} in {time.time()-t0:.0f}s, "
+          f"accept={np.asarray(res.accept_rate).mean():.2f}", flush=True)
+    gold_u = np.transpose(np.asarray(res.thetas)[:, warm2:, :], (1, 0, 2))
+    gold_rates_ncd = np.log1p(np.exp(gold_u))
+    tempered = _theta_block(vi_theta, gold_rates_ncd, ("r1", "r2", "r3"))
+    tempered["note"] = (
+        "target ∝ prior(theta) · exp(mean_s log p(y_s|theta)) — the actual "
+        "optimum of the series-sampled ELBO objective (one average series of "
+        "likelihood). SMC-estimated mean-log-evidence (documented "
+        f"approximation, {n_part} particles, M={M} series subsample).")
+
+    prior_rate_mean = np.log1p(np.exp(
+        np.asarray(model.prior_mean)
+        + 0.0)).tolist()  # softplus of u-mean (prior location in rate space)
+    _save("lv_learn_theta", {
+        "gold_standard": "per-series PMMH (exact) + tempered-target MH "
+                         "(the objective's implied optimum)",
+        "reference": "lotka_volterra_latest_batch_gpt_64_mu1_cov_learn_theta.py:787-802",
+        "fast": fast, "num_series": num_series,
+        "vi_rate_mean": vi_theta.mean(0).tolist(),
+        "vi_rate_sd": vi_theta.std(0).tolist(),
+        "generating_rates": list(info["rates_true"]),
+        "prior_rate_location": prior_rate_mean,
+        "per_series_pmmh": per_series,
+        "tempered_target": tempered,
+        "pass": bool(max(tempered["bias_in_posterior_sd"]) < 1.0),
+    })
+
+
+# ---------------------------------------------------------------------------
+# report
+# ---------------------------------------------------------------------------
+
+CONFIGS = ["ar1", "lv_partial", "sv", "fhn", "lv_learn_theta"]
+
+
+def write_report():
+    lines = [
+        "# VALIDATION — gold-standard cross-checks at the five BASELINE configs",
+        "",
+        "Produced by `scripts/validate_baseline.py`; raw numbers in",
+        "`validation/<config>.json`. `z_mc` = |Δmean| / combined MC standard",
+        "error with REAL Geyer autocorrelation ESS on both sides",
+        "(`inference/validate.compare_moments`); `bias/sd` = |Δmean| in gold",
+        "posterior-standard-deviation units (the scale on which VI's",
+        "mode-seeking bias lives once MC error is driven below it).",
+        "",
+    ]
+    for name in CONFIGS:
+        path = os.path.join(VAL_DIR, f"{name}.json")
+        if not os.path.exists(path):
+            lines += [f"## {name}", "", "**NOT RUN**", ""]
+            continue
+        with open(path) as f:
+            r = json.load(f)
+        lines += [f"## {name}", "",
+                  f"- gold standard: {r['gold_standard']}",
+                  f"- reference: {r['reference']}",
+                  f"- mode: {'FAST (smoke)' if r.get('fast') else 'full'}"
+                  f" · run: {r.get('timestamp', '?')}",
+                  ""]
+        th = r.get("theta") or r.get("tempered_target")
+        if th:
+            lines += ["| coord | VI mean | gold mean ± sd | z (MC) | bias/sd | gold ESS | R-hat |",
+                      "|---|---|---|---|---|---|---|"]
+            for i, nm in enumerate(th["names"]):
+                lines.append(
+                    f"| {nm} | {th['vi_mean'][i]:.4g} | "
+                    f"{th['gold_mean'][i]:.4g} ± {th['gold_sd'][i]:.3g} | "
+                    f"{th['z_mc'][i]:.2f} | {th['bias_in_posterior_sd'][i]:.2f} | "
+                    f"{th['ess_gold'][i]:.0f} | {th['diag']['rhat'][i]:.3f} |")
+            lines.append("")
+        if r.get("theta_pinned"):
+            tp = r["theta_pinned"]
+            lines.append(f"- pinned theta |VI − prior|: "
+                         f"{['%.2e' % v for v in tp['abs_diff']]} "
+                         f"(prior scale {tp['prior_scale']})")
+        if r.get("theta_learnable_pmmh"):
+            tl = r["theta_learnable_pmmh"]
+            lines += ["", "Learnable-theta recovery config (loose 0.3 priors) vs PMMH:",
+                      "", "| coord | VI mean | PMMH mean ± sd | z (MC) | bias/sd |",
+                      "|---|---|---|---|---|"]
+            for i, nm in enumerate(tl["names"]):
+                lines.append(f"| {nm} | {tl['vi_mean'][i]:.4g} | "
+                             f"{tl['gold_mean'][i]:.4g} ± {tl['gold_sd'][i]:.3g} | "
+                             f"{tl['z_mc'][i]:.2f} | "
+                             f"{tl['bias_in_posterior_sd'][i]:.2f} |")
+            lines.append("")
+        if r.get("paths"):
+            p = r["paths"]
+            lines += ["",
+                      f"Path means over {p['coords']} coordinates: "
+                      f"median z = {p['z_median']:.2f}, frac |z|>2 = "
+                      f"{p['z_frac_gt2']:.3f}, median bias/sd = "
+                      f"{p['bias_sd_median']:.3f}, max bias/sd = "
+                      f"{p['bias_sd_max']:.2f}, mean |Δ| = {p['mean_abs_diff']:.4g}",
+                      ""]
+        if r.get("per_series_pmmh"):
+            lines += ["Per-series exact posteriors (PMMH):", ""]
+            for s in r["per_series_pmmh"]:
+                m = s["posterior_rate_mean"]
+                sd = s["posterior_rate_sd"]
+                lines.append(f"- series {s['series']}: rates "
+                             f"({m[0]:.3f}±{sd[0]:.3f}, {m[1]:.5f}±{sd[1]:.5f}, "
+                             f"{m[2]:.3f}±{sd[2]:.3f})")
+            lines += ["",
+                      f"- VI shared q(theta): {['%.4g' % v for v in r['vi_rate_mean']]} "
+                      f"± {['%.2g' % v for v in r['vi_rate_sd']]}",
+                      f"- generating rates: {r['generating_rates']}; prior "
+                      f"location (rate space): "
+                      f"{['%.3g' % v for v in r['prior_rate_location']]}",
+                      ""]
+        lines += [f"**verdict: {'PASS' if r.get('pass') else 'SEE NOTES'}**", ""]
+    out = os.path.join(os.path.dirname(VAL_DIR), "VALIDATION.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}", flush=True)
+
+
+RUNNERS = {
+    "ar1": validate_ar1,
+    "lv-partial": validate_lv_partial,
+    "sv": validate_sv,
+    "fhn": validate_fhn,
+    "lv-learn-theta": validate_lv_learn_theta,
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", choices=list(RUNNERS) + ["all", "report"])
+    ap.add_argument("--fast", action="store_true",
+                    help="CI-scale smoke (small T / few steps)")
+    args = ap.parse_args(argv)
+
+    from viforssms_tpu.core.platform import apply_platform_env
+
+    apply_platform_env()
+    if args.config == "report":
+        write_report()
+        return
+    targets = list(RUNNERS) if args.config == "all" else [args.config]
+    for t in targets:
+        print(f"=== validating {t} ===", flush=True)
+        RUNNERS[t](fast=args.fast)
+    write_report()
+
+
+if __name__ == "__main__":
+    main()

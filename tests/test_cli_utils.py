@@ -26,6 +26,21 @@ def test_parseparams_roundtrip(tmp_path):
     assert p["grad_clip"] == 2.5e8
 
 
+def test_repair_stdout_roundtrips_clean(tmp_path, capsys):
+    """`main.py -repair > h.txt` must be directly consumable — the human
+    hint goes to stderr and the exit code is 0 (no hand-trimming)."""
+    from viforssms_tpu.cli.main import main
+
+    main(["-repair"])  # must not raise SystemExit
+    captured = capsys.readouterr()
+    assert "Copy the above" not in captured.out
+    assert "Copy the above" in captured.err
+    f = tmp_path / "hp.txt"
+    f.write_text(captured.out)
+    p = parseparams(str(f))
+    assert p["T"] == 5000 and p["grad_clip"] == 2.5e8
+
+
 def test_series_io_roundtrip(tmp_path):
     s = generate_ar1(T=50, impute=2, x0=1.0, theta=(1.0, 0.5, 1.0), obs_std=0.5)
     save_series(str(tmp_path), "AR", s)

@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from viforssms_tpu.inference.mcmc import nuts_sample_iterative
+from viforssms_tpu.inference.mcmc import nuts_sample
 from viforssms_tpu.inference.mcmc.diagnostics import ess, split_rhat, summarize
 
 
@@ -47,7 +47,7 @@ def test_ess_ar1_matches_theory():
 def test_summarize_on_real_nuts_run():
     sd = jnp.array([2.0, 0.5])
     logp = lambda q: -0.5 * jnp.sum((q / sd) ** 2)
-    samples, _ = nuts_sample_iterative(
+    samples, _ = nuts_sample(
         logp, jax.random.normal(jax.random.key(0), (4, 2)), jax.random.key(1),
         num_samples=500, num_warmup=300, step_size=0.2, max_depth=6,
     )

@@ -85,6 +85,10 @@ def test_double_well_vi_path_posterior_matches_hmc():
                              + 0.1 * np.random.RandomState(0).normal(size=(8, T)))
     samples, _ = hmc_sample(logp, init, jax.random.key(1), num_samples=600,
                             num_warmup=400, step_size=0.05, num_leapfrog=32)
-    hmc_paths = np.asarray(samples).reshape(-1, T)
-    cmp = compare_moments(vi_paths, hmc_paths, ess_factor=0.05)
-    assert float(np.median(cmp.z)) < 3.0, (np.median(cmp.z), cmp.z[:10])
+    # keep the HMC chain axis so compare_moments computes real Geyer ESS;
+    # VI draws are iid so their ESS ~ their count. VI carries an O(1)
+    # mode-seeking bias, so the bar is wider than the 2-SE sampler-vs-exact
+    # bar: median |z| over coordinates must stay small relative to the
+    # combined MC error.
+    cmp = compare_moments(vi_paths, np.asarray(samples))
+    assert float(np.median(cmp.z)) < 6.0, (np.median(cmp.z), cmp.z[:10])

@@ -49,3 +49,25 @@ def test_kalman_matches_brute_force():
     np.testing.assert_allclose(float(ll), ll_b, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(m_s), m_b, rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(P_s), P_b, rtol=1e-3, atol=1e-3)
+
+
+def test_ffbs_matches_smoother_moments():
+    """FFBS draws are exact joint posterior samples: their per-step means and
+    variances must match the RTS smoother, and lag-1 autocovariance must be
+    positive (a property marginal-moment comparison cannot see)."""
+    import jax
+
+    from viforssms_tpu.data.generate import generate_ar1
+    from viforssms_tpu.inference.kalman import ffbs_ar1, kalman_ar1
+
+    theta = (1.0, 0.8, 0.0)
+    s = generate_ar1(T=40, impute=2, x0=5.0, theta=(1.0, 0.8, 1.0), obs_std=0.7, seed=3)
+    _, m_s, P_s = kalman_ar1(s.obs, s.obs_bin, theta, 5.0, 0.7)
+    draws = np.asarray(ffbs_ar1(jax.random.key(0), s.obs, s.obs_bin, theta,
+                                5.0, 0.7, num_draws=4000))
+    se = np.sqrt(np.asarray(P_s) / draws.shape[0])
+    assert np.max(np.abs(draws.mean(0) - np.asarray(m_s)) / (se + 1e-9)) < 4.5
+    np.testing.assert_allclose(draws.var(0), np.asarray(P_s), rtol=0.2, atol=5e-3)
+    c = draws - draws.mean(0)
+    lag1 = np.mean(c[:, 1:] * c[:, :-1], axis=0)
+    assert np.mean(lag1 > 0) > 0.9

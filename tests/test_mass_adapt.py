@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from viforssms_tpu.inference.mcmc import hmc_sample, nuts_sample_iterative
+from viforssms_tpu.inference.mcmc import hmc_sample, nuts_sample
 from viforssms_tpu.inference.mcmc.hmc import (
     welford_init,
     welford_update_batch,
@@ -41,7 +41,7 @@ def _hard_target():
 
 @pytest.mark.parametrize("sampler,kwargs", [
     (hmc_sample, {"num_leapfrog": 32}),
-    (nuts_sample_iterative, {"max_depth": 8}),
+    (nuts_sample, {"max_depth": 8}),
 ])
 def test_mass_adaptation_learns_scales_and_moments(sampler, kwargs):
     logp, mu, sd = _hard_target()
@@ -102,7 +102,7 @@ def test_dense_mass_iterative_nuts_correlated_target():
         return -0.5 * d @ prec @ d
 
     init = jax.random.normal(jax.random.key(0), (8, 2))
-    samples, diag = nuts_sample_iterative(
+    samples, diag = nuts_sample(
         logp, init, jax.random.key(1), num_samples=600, num_warmup=600,
         step_size=0.2, max_depth=8, dense_mass=True,
     )

@@ -1,11 +1,16 @@
-"""Iterative NUTS vs the statically-unrolled NUTS and exact Gaussian moments."""
+"""The consolidated (iterative) NUTS: exact Gaussian moments at depth 8.
+
+Round 1 carried a second, statically-unrolled NUTS; it was removed (it
+adapted step size on an admissible-leaf proxy with a unit metric). This file
+now pins the single sampler at a depth the unrolled variant could not
+compile (2^8 traced leapfrogs), plus the back-compat alias.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from viforssms_tpu.inference.mcmc.nuts import nuts_sample
-from viforssms_tpu.inference.mcmc.nuts_iterative import nuts_sample_iterative
 
 
 def _target():
@@ -23,27 +28,21 @@ def _target():
 def test_iterative_nuts_recovers_gaussian_moments():
     logp, mu, cov = _target()
     init = jax.random.normal(jax.random.key(0), (8, 3))
-    samples, diag = nuts_sample_iterative(
+    samples, diag = nuts_sample(
         logp, init, jax.random.key(1), num_samples=700, num_warmup=400,
         step_size=0.3, max_depth=8,
     )
     draws = np.asarray(samples).reshape(-1, 3)
     np.testing.assert_allclose(draws.mean(0), mu, atol=0.12)
     np.testing.assert_allclose(np.cov(draws.T), cov, atol=0.4)
+    # dual averaging on the real per-leaf Metropolis statistic lands near the
+    # 0.8 target
+    assert 0.5 < float(np.mean(np.asarray(diag["accept"]))) <= 1.0
 
 
-def test_iterative_and_static_nuts_agree():
-    logp, mu, cov = _target()
-    init = jax.random.normal(jax.random.key(2), (8, 3))
-    s_it, _ = nuts_sample_iterative(
-        logp, init, jax.random.key(3), num_samples=600, num_warmup=400,
-        step_size=0.3, max_depth=6,
-    )
-    s_st, _ = nuts_sample(
-        logp, init, jax.random.key(4), num_samples=600, num_warmup=400,
-        step_size=0.3, max_depth=6,
-    )
-    a = np.asarray(s_it).reshape(-1, 3)
-    b = np.asarray(s_st).reshape(-1, 3)
-    np.testing.assert_allclose(a.mean(0), b.mean(0), atol=0.15)
-    np.testing.assert_allclose(a.std(0), b.std(0), atol=0.2)
+def test_nuts_alias_points_at_single_sampler():
+    import viforssms_tpu
+    from viforssms_tpu.inference import mcmc
+
+    assert mcmc.nuts_sample_iterative is mcmc.nuts_sample
+    assert viforssms_tpu.nuts_sample_iterative is mcmc.nuts_sample

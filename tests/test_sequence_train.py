@@ -69,6 +69,9 @@ def _unsharded_terms(model, flow, params, z, feats, theta, x0, y, obs_mask):
     return sde - lq + obs, sde, obs, lq
 
 
+@pytest.mark.slow  # ~4 min/case on a 2-core CPU host (compiles two full
+# sharded train programs); the cheap mechanism check stays in the fast tier
+# via tests/test_sequence_sharded.py
 @pytest.mark.parametrize("model,flow_dims,x0", [
     (AR1(obs_std=0.7), 1, 5.0),
     (LotkaVolterra(dt=0.1, prior_scale=(0.3,) * 3), 2, (3.0, 2.0)),

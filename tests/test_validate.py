@@ -44,7 +44,9 @@ def test_model_hmc_path_posterior_matches_kalman():
     samples, _ = hmc_sample(logp, init, jax.random.key(1), num_samples=600,
                             num_warmup=400, step_size=0.1, num_leapfrog=32)
     _, m_s, P_s = kalman_ar1(series.obs, series.obs_bin, THETA, 5.0, 0.7)
-    cmp = compare_moments(samples, np.asarray(m_s)[None, :], ess_factor=0.05)
+    # (samples keeps its chain axis: real Geyer ESS; the Kalman mean row is
+    # exact, contributing zero variance to the combined SE)
+    cmp = compare_moments(samples, np.asarray(m_s)[None, :])
     # HMC means within a few MC-SE of the exact smoother
     assert float(np.median(cmp.z)) < 3.0, cmp.z
 

@@ -36,8 +36,10 @@ def __getattr__(name):
         "MetricWriter": ("viforssms_tpu.utils.metrics", "MetricWriter"),
         "SummaryWriter": ("viforssms_tpu.utils.tensorboard", "SummaryWriter"),
         "hmc_sample": ("viforssms_tpu.inference.mcmc.hmc", "hmc_sample"),
+        "nuts_sample": ("viforssms_tpu.inference.mcmc.nuts", "nuts_sample"),
+        # back-compat alias: the unrolled variant was removed; one NUTS now
         "nuts_sample_iterative": (
-            "viforssms_tpu.inference.mcmc.nuts_iterative", "nuts_sample_iterative"),
+            "viforssms_tpu.inference.mcmc.nuts", "nuts_sample"),
         "bootstrap_filter": (
             "viforssms_tpu.inference.smc.bootstrap", "bootstrap_filter"),
     }

@@ -123,10 +123,10 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
     return state
 
 
-def run_lv_partial(dat_dir="dat", out_dir="out/lv_partial", steps=20_000,
-                   synthetic=False, pretrain_gate=1000, resume=False,
-                   aligned=False):
-    """LV partially observed, fixed data (lotka_volterra_partial.py:465-530)."""
+def build_lv_partial(dat_dir="dat", synthetic=False, transposed=False):
+    """Engine + data for LV partial at the reference configuration
+    (lotka_volterra_partial.py:467-477). Shared by run_lv_partial and
+    scripts/validate_baseline.py so the validated engine IS the CLI engine."""
     from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
     from viforssms_tpu.data.features import lv_tables
     from viforssms_tpu.data.io import load_series_2d
@@ -150,7 +150,7 @@ def run_lv_partial(dat_dir="dat", out_dir="out/lv_partial", steps=20_000,
         p=p, batch_dims=batch_dims, T=target,
         flow=FlowConfig(kernel_len=kernel_len, no_flows=no_flows,
                         network_dims=(50,) * 5, feat_window=fw, flow_dims=2,
-                        aligned_feats_2d=aligned),
+                        aligned_feats_2d=not transposed),
         train=TrainConfig(learn_rate=1e-3, grad_clip=1e9, nan_mask_loss=True),
         theta_num_bijectors=4,
     )
@@ -159,13 +159,23 @@ def run_lv_partial(dat_dir="dat", out_dir="out/lv_partial", steps=20_000,
     model = LotkaVolterra(dt=dt, prior_mean=priors_mean, prior_scale=(1e-4,) * 3,
                           jitter=1e-3)
     eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True)
+    info = {"obs": obs, "obs_bin": obs_bin, "time_till": tt, "x0": x0,
+            "theta_prior_mean": priors_mean, "dt": dt, "target": target}
+    return eng, info
+
+
+def run_lv_partial(dat_dir="dat", out_dir="out/lv_partial", steps=20_000,
+                   synthetic=False, pretrain_gate=1000, resume=False,
+                   transposed=False):
+    """LV partially observed, fixed data (lotka_volterra_partial.py:465-530)."""
+    eng, info = build_lv_partial(dat_dir, synthetic, transposed)
     return _common(out_dir, eng, steps, pretrain=None, finite_gate=pretrain_gate,
-                   truth_theta=priors_mean, resume=resume)
+                   truth_theta=info["theta_prior_mean"], resume=resume)
 
 
-def run_sv_dense(sv_file="dat/SV.dat", out_dir="out/sv_dense", steps=20_000,
-                 pretrain=1000, resume=False):
-    """Stochastic volatility on real returns (SV_dense.py:404-463)."""
+def build_sv_dense(sv_file="dat/SV.dat"):
+    """Engine + data for SV on real returns at the reference configuration
+    (SV_dense.py:404-418)."""
     from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
     from viforssms_tpu.data.features import sv_tables
     from viforssms_tpu.inference.vi.train import VIEngine
@@ -185,13 +195,20 @@ def run_sv_dense(sv_file="dat/SV.dat", out_dir="out/sv_dense", steps=20_000,
     tables, spec = sv_tables(obs, kernel_len, no_flows, fw, batch_dims, x0=-8.5)
     eng = VIEngine(model=StochasticVolatility(dt=1.0), cfg=cfg, tables=tables,
                    spec=spec, use_norm=True)
+    return eng, {"obs": obs, "x0": -8.5, "target": target}
+
+
+def run_sv_dense(sv_file="dat/SV.dat", out_dir="out/sv_dense", steps=20_000,
+                 pretrain=1000, resume=False):
+    """Stochastic volatility on real returns (SV_dense.py:404-463)."""
+    eng, _ = build_sv_dense(sv_file)
     return _common(out_dir, eng, steps, pretrain=pretrain, resume=resume)
 
 
-def run_fitz_nag(dat_dir="dat", out_dir="out/fitz_nag", steps=20_000,
-                 synthetic=False, T=100.0, pretrain_gate=1000, resume=False,
-                 export_rows=8192):
-    """FitzHugh-Nagumo partial obs (fitz_nag_NVP.py:451-518)."""
+def build_fitz_nag(dat_dir="dat", synthetic=False, T=100.0, seed=1,
+                   learn_rate=1e-4):
+    """Engine + data for FHN partial obs at the reference configuration
+    (fitz_nag_NVP.py:453-468); T scales the synthetic series length."""
     from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
     from viforssms_tpu.data.features import lv_tables
     from viforssms_tpu.data.io import load_series_2d
@@ -201,12 +218,14 @@ def run_fitz_nag(dat_dir="dat", out_dir="out/fitz_nag", steps=20_000,
     p, kernel_len, dt = 50, 20, 0.1
     batch_dims, no_flows, fw = 50, 3, 10
     x0 = (-1.0, 1.0)
+    theta_true = None
     if synthetic:
         from viforssms_tpu.data.generate import partial_observe_2d, simulate_fhn
 
         theta_true = (np.log(2.0), 1.0, 1.5, np.log(0.5), np.log(0.3))
-        x = simulate_fhn(theta_true, x0=x0, dt=dt, T=T, seed=1)
-        obs, obs_bin, tt = partial_observe_2d(x, every=10, obs_std=0.1, seed=2)
+        x = simulate_fhn(theta_true, x0=x0, dt=dt, T=T, seed=seed)
+        obs, obs_bin, tt = partial_observe_2d(x, every=10, obs_std=0.1,
+                                              seed=seed + 1)
         tt = tt * dt
     else:
         obs, obs_bin, tt = load_series_2d(dat_dir, "fitz_nag")
@@ -215,7 +234,8 @@ def run_fitz_nag(dat_dir="dat", out_dir="out/fitz_nag", steps=20_000,
         p=p, batch_dims=batch_dims, T=target,
         flow=FlowConfig(kernel_len=kernel_len, no_flows=no_flows,
                         network_dims=(50,) * 5, feat_window=fw, flow_dims=2),
-        train=TrainConfig(learn_rate=1e-4, grad_clip=2.5e11, nan_mask_loss=True),
+        train=TrainConfig(learn_rate=learn_rate, grad_clip=2.5e11,
+                          nan_mask_loss=True),
         theta_num_bijectors=4,
     )
     tables, spec = lv_tables(obs, obs_bin, tt, kernel_len, no_flows, fw,
@@ -223,6 +243,17 @@ def run_fitz_nag(dat_dir="dat", out_dir="out/fitz_nag", steps=20_000,
                              context_flag_in_pad=True, time_till_end=-dt)
     eng = VIEngine(model=FitzHughNagumo(dt=dt), cfg=cfg, tables=tables, spec=spec,
                    use_norm=True)
+    info = {"obs": obs, "obs_bin": obs_bin, "time_till": tt, "x0": x0,
+            "theta_true": theta_true, "dt": dt, "target": target}
+    return eng, info
+
+
+def run_fitz_nag(dat_dir="dat", out_dir="out/fitz_nag", steps=20_000,
+                 synthetic=False, T=100.0, pretrain_gate=1000, resume=False,
+                 export_rows=8192):
+    """FitzHugh-Nagumo partial obs (fitz_nag_NVP.py:451-518)."""
+    eng, info = build_fitz_nag(dat_dir, synthetic, T)
+    target = info["target"]
     # very long series: skip the prior-predictive dump (it costs a full
     # all-windows pass before training) and bound the export program size
     long_series = target > 200_000
@@ -231,35 +262,33 @@ def run_fitz_nag(dat_dir="dat", out_dir="out/fitz_nag", steps=20_000,
                    skip_prior_dump=long_series)
 
 
-def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
-                       num_epochs=1010, pre_train_epochs=500, synthetic=False,
-                       num_series=1024, p_val=128, learn_obs_scale=False,
-                       iw_k=0, theta_stl=False, quality=False):
-    """Batched learn-theta LV over independent series (..._learn_theta.py:778-877)."""
-    import jax
-
+def build_lv_learn_theta(dat_dir="dat/scratch", synthetic=False,
+                         num_series=1024, p_val=128, learn_obs_scale=False,
+                         iw_k=0, theta_stl=False):
+    """Engine + data for batched learn-theta LV at the reference
+    configuration (..._learn_theta.py:787-802). Synthetic series use the
+    generating rates (0.5, 0.0025, 0.3)."""
     from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
     from viforssms_tpu.data.features import series_tables
-    from viforssms_tpu.data.io import load_series_2d, save_paths_txt, save_theta_txt
+    from viforssms_tpu.data.io import load_series_2d
     from viforssms_tpu.inference.vi.train import VIEngine
     from viforssms_tpu.models.lotka_volterra import (
         LotkaVolterraLearnObsScale,
         LotkaVolterraLearnTheta,
     )
-    from viforssms_tpu.utils.checkpoint import Checkpointer
-    from viforssms_tpu.utils.metrics import MetricWriter
 
     kernel_len, dt, target = 20, 0.2, 151
     no_flows, fw = 3, 10
     x0_mean, x0_std = (91.0, 99.0), (1.0, 1.0)
     prior_mean = tuple(np.log1p(np.exp([-1.0, -6.0, -1.0])))  # softplus
     prior_sigma = (float(np.sqrt(0.1)),) * 3
+    rates_true = (0.5, 0.0025, 0.3)
     if synthetic:
         from viforssms_tpu.data.generate import partial_observe_2d, simulate_lv
 
         obs_l, bin_l, tt_l = [], [], []
         for j in range(num_series):
-            x = simulate_lv((0.5, 0.0025, 0.3), x0=x0_mean, dt=dt,
+            x = simulate_lv(rates_true, x0=x0_mean, dt=dt,
                             T=target * dt, seed=j)
             o, b, t = partial_observe_2d(x, every=5, obs_std=1.0, seed=1000 + j)
             o[b == 0] = 2.0
@@ -292,6 +321,26 @@ def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
                                         x0_std=x0_std)
     eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True,
                    iw_k=iw_k, theta_stl=theta_stl)
+    info = {"obs": obs, "obs_bin": obs_bin, "time_till": tt,
+            "num_series": num_series, "target": target, "dt": dt,
+            "x0_mean": x0_mean, "x0_std": x0_std,
+            "rates_true": rates_true if synthetic else None}
+    return eng, info
+
+
+def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
+                       num_epochs=1010, pre_train_epochs=500, synthetic=False,
+                       num_series=1024, p_val=128, learn_obs_scale=False,
+                       iw_k=0, theta_stl=False, quality=False):
+    """Batched learn-theta LV over independent series (..._learn_theta.py:778-877)."""
+    import jax
+
+    from viforssms_tpu.data.io import save_paths_txt, save_theta_txt
+    from viforssms_tpu.utils.checkpoint import Checkpointer
+    from viforssms_tpu.utils.metrics import MetricWriter
+
+    eng, _ = build_lv_learn_theta(dat_dir, synthetic, num_series, p_val,
+                                  learn_obs_scale, iw_k, theta_stl)
 
     os.makedirs(out_dir, exist_ok=True)
     state = eng.init(jax.random.key(1))
@@ -462,9 +511,12 @@ def main(argv=None):
     lv.add_argument("--synthetic", action="store_true")
     lv.add_argument("--pretrain-gate", type=int, default=1000)
     lv.add_argument("--resume", action="store_true")
-    lv.add_argument("--aligned", action="store_true",
-                    help="TPU-fast aligned feature mode (quality-equivalent; "
-                         "docs/RESULTS.md six-seed study)")
+    lv.add_argument("--transposed", action="store_true",
+                    help="Reference-parity transposed 2-D feature projection "
+                         "(lotka_volterra_partial.py:75-76). Default is the "
+                         "TPU-fast aligned mode — quality-equivalent per the "
+                         "docs/RESULTS.md six-seed study and what bench.py "
+                         "measures.")
 
     sv = sub.add_parser("sv-dense")
     sv.add_argument("--sv-file", default="dat/SV.dat")
@@ -532,7 +584,7 @@ def main(argv=None):
     if args.cmd == "lv-partial":
         run_lv_partial(args.dat_dir, args.out, args.steps, args.synthetic,
                        args.pretrain_gate, resume=args.resume,
-                       aligned=args.aligned)
+                       transposed=args.transposed)
     elif args.cmd == "sv-dense":
         run_sv_dense(args.sv_file, args.out, args.steps, args.pretrain,
                      resume=args.resume)

@@ -99,25 +99,20 @@ def parseparams(file):
     return params
 
 
-def run_ar1(params, num_steps=2000, out_dir="out/ar1", dat_dir=None, seed=1):
-    import jax
-
+def build_ar1(params, seed=1):
+    """Engine + generated series for the AR(1) reference configuration
+    (``hyperparameters.txt`` semantics). Shared by run_ar1 and
+    scripts/validate_baseline.py."""
     from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
     from viforssms_tpu.data.features import ar1_tables
     from viforssms_tpu.data.generate import generate_ar1
-    from viforssms_tpu.data.io import save_paths_txt, save_series, save_theta_txt
-    from viforssms_tpu.inference.vi.train import VIEngine, metrics_to_dict
+    from viforssms_tpu.inference.vi.train import VIEngine
     from viforssms_tpu.models.ar1 import AR1
-    from viforssms_tpu.utils.checkpoint import Checkpointer
-    from viforssms_tpu.utils.metrics import MetricWriter
 
-    dat_dir = dat_dir or os.path.join(out_dir, "dat")
     series = generate_ar1(
         T=params["T"], impute=params["impute"], x0=params["x0"],
         theta=params["theta"], obs_std=params["obs_std"], seed=seed,
     )
-    save_series(dat_dir, "AR", series)
-
     cfg = VIConfig(
         p=params["p"], batch_dims=params["batch_dims"], T=params["T"],
         flow=FlowConfig(
@@ -141,8 +136,21 @@ def run_ar1(params, num_steps=2000, out_dir="out/ar1", dat_dir=None, seed=1):
     model = AR1(obs_std=params["obs_std"], prior_mean=prior_mean, prior_scale=prior_scale)
     eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec,
                    theta_base_loc=1.5, theta_base_scale=0.5)  # AR.py:389
+    return eng, series
 
+
+def run_ar1(params, num_steps=2000, out_dir="out/ar1", dat_dir=None, seed=1):
+    import jax
+
+    from viforssms_tpu.data.io import save_paths_txt, save_series, save_theta_txt
+    from viforssms_tpu.inference.vi.train import metrics_to_dict
+    from viforssms_tpu.utils.checkpoint import Checkpointer
+    from viforssms_tpu.utils.metrics import MetricWriter
     from viforssms_tpu.utils.preemption import PreemptionGuard
+
+    eng, series = build_ar1(params, seed=seed)
+    dat_dir = dat_dir or os.path.join(out_dir, "dat")
+    save_series(dat_dir, "AR", series)
 
     state = eng.init(jax.random.key(seed))
     ckpt = Checkpointer(os.path.join(out_dir, "ckpt"))
@@ -180,8 +188,12 @@ def main(argv=None):
     if args.tensorboard:
         os.environ["VIFORSSMS_TENSORBOARD"] = "1"
     if args.repair:
-        print(DEFAULT_HYPERPARAMETERS)
-        sys.exit("Copy the above into a .txt file")
+        # file content on stdout ONLY (clean roundtrip:
+        # `... -repair > h.txt && ... h.txt`), the human hint on stderr,
+        # exit 0 so the redirect composes in `&&` chains
+        sys.stdout.write(DEFAULT_HYPERPARAMETERS)
+        print("Copy the above into a .txt file", file=sys.stderr)
+        return
     if not args.file:
         sys.exit("Please specify a hyperparameter file (or -repair)")
     try:

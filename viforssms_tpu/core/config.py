@@ -39,8 +39,11 @@ class FlowConfig:
     sigma_eps: float = 1e-10
     # TPU-fast 2-D feature mode: locally-aligned features (1-D style) instead
     # of the transposed global projection whose conv-channel count scales with
-    # the window (quadratic FLOPs). Off by default for reference parity.
-    aligned_feats_2d: bool = False
+    # the window (quadratic FLOPs). ON by default: the six-seed quality study
+    # (docs/RESULTS.md "Aligned 2-D feature mode") found it statistically
+    # equivalent to the reference's transposed projection and 1.07-2.1x
+    # faster. Set False (CLI: --transposed) for reference-parity runs.
+    aligned_feats_2d: bool = True
     # Pallas whole-tail megakernel ("off" | "on" | "interpret"); requires the
     # 1-D or aligned-2-D feature path (ops/fused_flow.py).
     fused_tail: str = "off"

@@ -64,3 +64,56 @@ def kalman_ar1(obs, obs_bin, theta, x0, obs_std):
     m_s = jnp.concatenate([m_s_rev[::-1], jnp.array([mT])])
     P_s = jnp.concatenate([P_s_rev[::-1], jnp.array([PT])])
     return ll, m_s, P_s
+
+
+def ffbs_ar1(key, obs, obs_bin, theta, x0, obs_std, num_draws: int = 1):
+    """Forward-filter backward-sampling: EXACT joint posterior path draws.
+
+    Returns (num_draws, T) samples from p(x_{1:T} | y, theta) — the
+    simulation smoother (Carter & Kohn 1994). Together with exact-evidence
+    MH over theta this yields draws from the exact JOINT posterior for the
+    BASELINE 2-MC-SE bar, not just marginal smoother moments. No reference
+    counterpart (SURVEY.md §4).
+    """
+    theta0, theta1, log_sigma = theta
+    q = jnp.exp(log_sigma) ** 2
+    r = obs_std**2
+
+    def filter_step(carry, inp):
+        m, P = carry
+        y, b = inp
+        m_pred = theta1 * m + theta0
+        P_pred = theta1**2 * P + q
+        S = P_pred + r
+        K = P_pred / S
+        m_upd = m_pred + K * (y - m_pred)
+        P_upd = (1.0 - K) * P_pred
+        m_new = jnp.where(b > 0, m_upd, m_pred)
+        P_new = jnp.where(b > 0, P_upd, P_pred)
+        return (m_new, P_new), (m_new, P_new)
+
+    init = (jnp.asarray(x0, jnp.float32), jnp.asarray(0.0, jnp.float32))
+    (mT, PT), (m_f, P_f) = jax.lax.scan(
+        filter_step, init, (jnp.asarray(obs), jnp.asarray(obs_bin))
+    )
+
+    def one_draw(k):
+        kT, kb = jax.random.split(k)
+        xT = mT + jnp.sqrt(PT) * jax.random.normal(kT, ())
+
+        def back_step(x_next, inp):
+            m, P, kk = inp
+            # p(x_t | x_{t+1}, y_{1:t}) ~ N(m + C (x_{t+1} - a m - c), P - C^2 S)
+            P_pred = theta1**2 * P + q
+            C = P * theta1 / P_pred
+            mean = m + C * (x_next - (theta1 * m + theta0))
+            var = jnp.maximum(P - C * theta1 * P, 0.0)  # = P - (P a)^2 / P_pred
+            x = mean + jnp.sqrt(var) * jax.random.normal(kk, ())
+            return x, x
+
+        ks = jax.random.split(kb, m_f.shape[0] - 1)
+        inputs = (m_f[:-1][::-1], P_f[:-1][::-1], ks)
+        _, xs_rev = jax.lax.scan(back_step, xT, inputs)
+        return jnp.concatenate([xs_rev[::-1], jnp.array([xT])])
+
+    return jax.vmap(one_draw)(jax.random.split(key, num_draws))

@@ -1,14 +1,29 @@
-"""No-U-Turn Sampler (Hoffman & Gelman 2014, Algorithm 3, slice variant).
+"""The No-U-Turn sampler: iterative (O(max_depth) memory, while-loop
+trajectories) — the single NUTS entry point.
 
-The tree recursion is unrolled statically to ``max_depth`` — every branch is
-traced once and masked with ``where``, which is the XLA-friendly formulation:
-no dynamic control flow, a fixed 2^max_depth leapfrog budget per transition,
-identical cost every step (ideal for lock-step vectorized chains on TPU).
-Chains vmap over the leading axis and shard like any batch axis.
+A statically-unrolled recursive variant existed in round 1 but adapted step
+size on an admissible-leaf proxy with a unit metric only; it was removed in
+favor of this sampler (one implementation, proper per-leaf Metropolis
+statistic, diagonal AND dense mass adaptation). The checkpoint formulation:
+leaves are generated one ``while_loop`` iteration at a time; even-indexed leaves are stored in a (max_depth+1)-slot buffer at
+slot popcount(i), and when leaf i (with t trailing one-bits) arrives, the
+U-turn condition is checked against checkpoint slots
+[popcount(i) - t, popcount(i) - 1] — exactly the starts of the dyadic
+sub-subtrees that end at leaf i, reproducing Algorithm 3's recursive checks
+with O(max_depth) state.
 
-Validated against exact Gaussian posteriors and the AR(1) Kalman smoother in
-tests/test_mcmc.py — the cross-check the VI stack is graded against
-(BASELINE.json "gold-standard validators").
+Slice-variant trajectory bookkeeping (Hoffman & Gelman 2014, Algorithm 3);
+validated on exact Gaussian targets and the AR(1) Kalman oracle
+(tests/test_mcmc.py, tests/test_mcmc_iterative.py). No reference counterpart
+exists (SURVEY.md §4): this is the gold-standard validator the TF1 scripts
+never had.
+
+With ``adapt_mass=True`` a diagonal metric is adapted during warmup (same
+two-phase Welford scheme as hmc.py); the U-turn criterion then uses
+velocities ``M^{-1} p`` as in Stan. ``dense_mass=True`` adapts the FULL
+posterior covariance as the inverse metric (momenta drawn through its
+Cholesky factor, velocities ``Σ p``), removing posterior correlations from
+the conditioning — the same metric contract as ``hmc_sample(dense_mass=True)``.
 """
 
 from __future__ import annotations
@@ -18,7 +33,17 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from viforssms_tpu.inference.mcmc.hmc import da_init, da_update
+from viforssms_tpu.inference.mcmc.hmc import (
+    _metric_fns,
+    da_init,
+    da_update,
+    welford_cov_init,
+    welford_cov_update_batch,
+    welford_covariance,
+    welford_init,
+    welford_update_batch,
+    welford_variance,
+)
 
 _DELTA_MAX = 1000.0
 
@@ -28,21 +53,10 @@ class _Z(NamedTuple):
     p: jax.Array
 
 
-class _Tree(NamedTuple):
-    z_minus: _Z
-    z_plus: _Z
-    q_prop: jax.Array
-    n: jax.Array       # number of slice-admissible points
-    s: jax.Array       # subtree still valid (no U-turn, no divergence)
-
-
-def _tree_where(pred, a, b):
-    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
-
-
-def _no_uturn(z_minus: _Z, z_plus: _Z):
-    dq = z_plus.q - z_minus.q
-    return (jnp.dot(dq, z_minus.p) >= 0.0) & (jnp.dot(dq, z_plus.p) >= 0.0)
+def _ctz(n):
+    """count trailing zeros (n > 0)."""
+    low = n & -n
+    return jax.lax.population_count(low - 1)
 
 
 def nuts_sample(
@@ -52,90 +66,181 @@ def nuts_sample(
     num_samples: int,
     num_warmup: int = 500,
     step_size: float = 0.1,
-    max_depth: int = 6,
+    max_depth: int = 10,
     target_accept: float = 0.8,
+    adapt_mass: bool = False,
+    dense_mass: bool = False,
 ):
-    """Run NUTS chains: ``init_q`` (chains, dim) -> (samples, diagnostics)."""
     grad_fn = jax.grad(log_prob_fn)
+    dim = init_q.shape[-1]
+    adapt_mass = adapt_mass or dense_mass
 
-    def leapfrog(z: _Z, eps):
+    def leapfrog(z: _Z, eps, inv_mass):
+        _, _, velocity = _metric_fns(inv_mass)
         p = z.p + 0.5 * eps * grad_fn(z.q)
-        q = z.q + eps * p
+        q = z.q + eps * velocity(p)
         p = p + 0.5 * eps * grad_fn(q)
         return _Z(q, p)
 
-    def hamiltonian(z: _Z):
-        return log_prob_fn(z.q) - 0.5 * jnp.sum(z.p * z.p)
+    def hamiltonian(z: _Z, inv_mass):
+        _, kinetic, _ = _metric_fns(inv_mass)
+        return log_prob_fn(z.q) - kinetic(z.p)
 
-    def build_tree(key, z: _Z, v, depth, eps, log_u):
-        if depth == 0:
-            z1 = leapfrog(z, v * eps)
-            h1 = hamiltonian(z1)
-            n = (log_u <= h1).astype(jnp.int32)
-            s = log_u < h1 + _DELTA_MAX
-            return _Tree(z1, z1, z1.q, n, s)
-        k1, k2, k3 = jax.random.split(key, 3)
-        t1 = build_tree(k1, z, v, depth - 1, eps, log_u)
-        edge = _tree_where(v > 0, t1.z_plus, t1.z_minus)
-        t2 = build_tree(k2, edge, v, depth - 1, eps, log_u)
-        # orient: t2 extends t1 in direction v
-        z_minus = _tree_where(v > 0, t1.z_minus, t2.z_minus)
-        z_plus = _tree_where(v > 0, t2.z_plus, t1.z_plus)
-        # progressive proposal: pick t2's with prob n2/(n1+n2)
-        n_tot = t1.n + t2.n
-        take2 = jax.random.uniform(k3, ()) < t2.n / jnp.maximum(n_tot, 1)
-        q_prop = jnp.where(take2 & t2.s, t2.q_prop, t1.q_prop)
-        s = t1.s & t2.s & _no_uturn(z_minus, z_plus)
-        return _Tree(z_minus, z_plus, q_prop, n_tot, s)
+    def build_subtree(key, z_edge: _Z, v, depth, eps, log_u, h0, inv_mass):
+        """Generate 2^depth leaves from z_edge in direction v, iteratively."""
+        n_leaves = jnp.asarray(2, jnp.int32) ** depth
+        q_ck = jnp.zeros((max_depth + 1, dim))
+        p_ck = jnp.zeros((max_depth + 1, dim))
 
-    def transition(q, key, eps):
-        k_mom, k_slice, *k_depth = jax.random.split(key, 2 + 3 * max_depth)
-        p0 = jax.random.normal(k_mom, q.shape)
+        def cond(c):
+            i, z, first, prop, n, stop, _, _, _, _, _ = c
+            return (i < n_leaves) & ~stop
+
+        def body(c):
+            i, z, first, prop, n, stop, q_ck, p_ck, k, a_sum, a_cnt = c
+            k, k_prop = jax.random.split(k)
+            z = leapfrog(z, v * eps, inv_mass)
+            h = hamiltonian(z, inv_mass)
+            admissible = (log_u <= h).astype(jnp.int32)
+            diverged = ~(log_u < h + _DELTA_MAX)
+            # per-leaf Metropolis statistic for dual averaging (NUTS paper, eq. for alpha)
+            a_sum = a_sum + jnp.minimum(1.0, jnp.exp(h - h0))
+            a_cnt = a_cnt + 1
+            n_new = n + admissible
+            take = jax.random.uniform(k_prop, ()) < admissible / jnp.maximum(n_new, 1)
+            prop = jnp.where(take, z.q, prop)
+            first = jax.tree.map(lambda a, b: jnp.where(i == 0, a, b), z, first)
+            # checkpoint bookkeeping
+            pc = jax.lax.population_count(i)
+            is_even = (i % 2) == 0
+            q_ck = jnp.where(is_even, q_ck.at[pc].set(z.q), q_ck)
+            p_ck = jnp.where(is_even, p_ck.at[pc].set(z.p), p_ck)
+            # U-turn vs dyadic sub-subtree starts ending at this (odd) leaf
+            t = _ctz(i + 1)  # number of trailing ones of i
+            idx_min = pc - t
+            idx_max = pc - 1
+
+            def check(s, turning):
+                _, _, velocity = _metric_fns(inv_mass)
+                active = (s >= idx_min) & (s <= idx_max) & ~is_even
+                dq = v * (z.q - q_ck[s])
+                turn_s = (jnp.dot(dq, velocity(p_ck[s])) < 0.0) | (
+                    jnp.dot(dq, velocity(z.p)) < 0.0)
+                return turning | (active & turn_s)
+
+            turning = jax.lax.fori_loop(0, max_depth + 1, lambda s, tn: check(s, tn),
+                                        jnp.asarray(False))
+            stop = diverged | turning
+            return (i + 1, z, first, prop, n_new, stop, q_ck, p_ck, k, a_sum, a_cnt)
+
+        init = (
+            jnp.asarray(0, jnp.int32), z_edge, z_edge, z_edge.q,
+            jnp.asarray(0, jnp.int32), jnp.asarray(False), q_ck, p_ck, key,
+            jnp.asarray(0.0), jnp.asarray(0, jnp.int32),
+        )
+        (i, z_last, z_first, prop, n, stop, _, _, _, a_sum, a_cnt) = jax.lax.while_loop(
+            cond, body, init
+        )
+        ok = (i >= n_leaves) & ~stop  # all leaves generated, no divergence/U-turn
+        return z_first, z_last, prop, n, ok, a_sum, a_cnt
+
+    def transition(q, key, eps, inv_mass):
+        sample_p, _, _ = _metric_fns(inv_mass)
+        k_mom, k_slice, k_loop = jax.random.split(key, 3)
+        p0 = sample_p(k_mom, q.shape)
         z0 = _Z(q, p0)
-        h0 = hamiltonian(z0)
+        h0 = hamiltonian(z0, inv_mass)
         log_u = h0 + jnp.log(jax.random.uniform(k_slice, ()))
-        z_minus, z_plus = z0, z0
-        q_prop = q
-        n = jnp.asarray(1, jnp.int32)
-        s = jnp.asarray(True)
-        for j in range(max_depth):
-            kd, kt, ka = k_depth[3 * j], k_depth[3 * j + 1], k_depth[3 * j + 2]
-            v = jnp.where(jax.random.bernoulli(kd), 1.0, -1.0)
-            edge = _tree_where(v > 0, z_plus, z_minus)
-            t = build_tree(kt, edge, v, j, eps, log_u)
-            accept = (
-                s & t.s
-                & (jax.random.uniform(ka, ()) < t.n / jnp.maximum(n, 1))
-            )
-            q_prop = jnp.where(accept, t.q_prop, q_prop)
-            z_minus = _tree_where(s & (v < 0), t.z_minus, z_minus)
-            z_plus = _tree_where(s & (v > 0), t.z_plus, z_plus)
-            n = jnp.where(s, n + t.n, n)
-            s = s & t.s & _no_uturn(z_minus, z_plus)
-        # dual-averaging statistic: fraction of admissible points as acceptance proxy
-        accept_stat = jnp.clip(n / (2.0**max_depth), 0.0, 1.0)
-        return q_prop, accept_stat
 
-    v_transition = jax.vmap(transition, in_axes=(0, 0, None))
+        def cond(c):
+            depth, s, *_ = c
+            return s & (depth < max_depth)
+
+        def body(c):
+            depth, s, z_minus, z_plus, prop, n, k, a_sum, a_cnt = c
+            k, kd, kt, ka = jax.random.split(k, 4)
+            v = jnp.where(jax.random.bernoulli(kd), 1.0, -1.0)
+            edge = jax.tree.map(lambda a, b: jnp.where(v > 0, a, b), z_plus, z_minus)
+            (t_first, t_last, t_prop, t_n, t_ok, t_asum, t_acnt) = build_subtree(
+                kt, edge, v, depth, eps, log_u, h0, inv_mass
+            )
+            accept = s & t_ok & (
+                jax.random.uniform(ka, ()) < t_n / jnp.maximum(n, 1)
+            )
+            prop = jnp.where(accept, t_prop, prop)
+            z_minus = jax.tree.map(lambda a, b: jnp.where(v < 0, a, b), t_last, z_minus)
+            z_plus = jax.tree.map(lambda a, b: jnp.where(v > 0, a, b), t_last, z_plus)
+            n = n + t_n
+            _, _, velocity = _metric_fns(inv_mass)
+            dq = z_plus.q - z_minus.q
+            no_uturn = (jnp.dot(dq, velocity(z_minus.p)) >= 0.0) & (
+                jnp.dot(dq, velocity(z_plus.p)) >= 0.0)
+            s = s & t_ok & no_uturn
+            return (depth + 1, s, z_minus, z_plus, prop, n, k,
+                    a_sum + t_asum, a_cnt + t_acnt)
+
+        init = (jnp.asarray(0, jnp.int32), jnp.asarray(True), z0, z0, q,
+                jnp.asarray(1, jnp.int32), k_loop, jnp.asarray(0.0),
+                jnp.asarray(0, jnp.int32))
+        (depth, s, _, _, prop, n, _, a_sum, a_cnt) = jax.lax.while_loop(cond, body, init)
+        accept_stat = a_sum / jnp.maximum(a_cnt, 1)
+        return prop, accept_stat
+
+    v_transition = jax.vmap(transition, in_axes=(0, 0, None, None))
     n_chains = init_q.shape[0]
 
-    def warmup_step(carry, key):
-        q, da = carry
-        q, acc = v_transition(q, jax.random.split(key, n_chains), jnp.exp(da.log_step))
-        da = da_update(da, jnp.mean(acc), target=target_accept)
-        return (q, da), jnp.mean(acc)
+    if dense_mass:
+        w_init = lambda: welford_cov_init(dim)
+        w_update = welford_cov_update_batch
+    else:
+        w_init = lambda: welford_init(dim)
+        w_update = welford_update_batch
+
+    def warmup_phase(key, q, da, inv_mass, num_steps, collect_from):
+        def step(carry, inp):
+            t, key = inp
+            q, da, w = carry
+            q, acc = v_transition(q, jax.random.split(key, n_chains),
+                                  jnp.exp(da.log_step), inv_mass)
+            da = da_update(da, jnp.mean(acc), target=target_accept)
+            w_new = w_update(w, q)
+            w = jax.tree.map(
+                lambda a, b: jnp.where(t >= collect_from, a, b), w_new, w)
+            return (q, da, w), jnp.mean(acc)
+
+        keys = jax.random.split(key, num_steps)
+        (q, da, w), acc = jax.lax.scan(
+            step, (q, da, w_init()), (jnp.arange(num_steps), keys))
+        return q, da, w, acc
+
+    k_warm, k_warm2, k_samp = jax.random.split(key, 3)
+    inv_mass = jnp.ones((dim,), init_q.dtype)
+    if adapt_mass:
+        n1 = num_warmup // 2
+        q, da, w, acc1 = warmup_phase(
+            k_warm, init_q, da_init(step_size), inv_mass, n1, n1 // 4)
+        if dense_mass:
+            cov = welford_covariance(w).astype(init_q.dtype)
+            inv_mass = jnp.linalg.cholesky(cov)  # Σ = L Lᵀ (inverse metric)
+        else:
+            inv_mass = welford_variance(w).astype(init_q.dtype)
+        q, da, _, acc2 = warmup_phase(
+            k_warm2, q, da_init(float(step_size)), inv_mass,
+            num_warmup - n1, num_warmup)
+        warm_acc = jnp.concatenate([acc1, acc2])
+    else:
+        q, da, _, warm_acc = warmup_phase(
+            k_warm, init_q, da_init(step_size), inv_mass, num_warmup, num_warmup)
+
+    eps = jnp.exp(da.log_step_avg)
 
     def sample_step(carry, key):
         q, eps = carry
-        q, acc = v_transition(q, jax.random.split(key, n_chains), eps)
+        q, acc = v_transition(q, jax.random.split(key, n_chains), eps, inv_mass)
         return (q, eps), (q, jnp.mean(acc))
 
-    k_warm, k_samp = jax.random.split(key)
-    (q, da), warm_acc = jax.lax.scan(
-        warmup_step, (init_q, da_init(step_size)), jax.random.split(k_warm, num_warmup)
-    )
-    eps = jnp.exp(da.log_step_avg)
     (_, _), (samples, acc) = jax.lax.scan(
         sample_step, (q, eps), jax.random.split(k_samp, num_samples)
     )
-    return samples, {"step_size": eps, "warmup_accept": warm_acc, "accept": acc}
+    return samples, {"step_size": eps, "warmup_accept": warm_acc, "accept": acc,
+                     "inv_mass": inv_mass}

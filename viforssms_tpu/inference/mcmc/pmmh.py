@@ -74,9 +74,16 @@ def pmmh(
             k_prop, theta.shape, theta.dtype
         )
         lp_prop = log_evidence_fn(k_ev, prop) + log_prior_fn(prop)
-        log_alpha = lp_prop - lp
-        # -inf/NaN proposals (e.g. prior support edges) are always rejected
-        log_alpha = jnp.where(jnp.isfinite(log_alpha), log_alpha, -jnp.inf)
+        # Guard on the PROPOSAL only: -inf/NaN proposals (prior support
+        # edges) are always rejected, but a finite proposal must always
+        # escape a non-finite CURRENT state — guarding the difference would
+        # map (finite - (-inf)) = +inf to reject and freeze the chain
+        # forever when theta0 starts outside support.
+        log_alpha = jnp.where(
+            jnp.isfinite(lp_prop),
+            jnp.where(jnp.isfinite(lp), lp_prop - lp, jnp.inf),
+            -jnp.inf,
+        )
         accept = jnp.log(jax.random.uniform(k_acc, ())) < log_alpha
         theta = jnp.where(accept, prop, theta)
         lp = jnp.where(accept, lp_prop, lp)

@@ -165,6 +165,14 @@ def log_importance_weights(engine, params, key, num_batches: int = 8,
     import jax.numpy as jnp
 
     if engine.series_mode:
+        # series-mode tables are independent of cfg, so a cfg with
+        # batch_dims != T would silently temper every weight by T/batch_dims
+        if abs(engine.cfg.elbo_scale - 1.0) > 1e-6:
+            raise ValueError(
+                "importance weights require elbo_scale == 1 (whole-series "
+                f"windows); got elbo_scale={engine.cfg.elbo_scale} — set "
+                "batch_dims == T in the series-mode config"
+            )
         starts = jnp.full((engine.cfg.p,), int(series_index), jnp.int32)
     else:
         if engine.spec.num_windows != 1 or abs(engine.cfg.elbo_scale - 1.0) > 1e-6:

@@ -54,24 +54,122 @@ def path_log_posterior(model, obs, obs_bin, x0, theta_fixed, T: int):
     return log_post
 
 
+def ssm2d_path_log_posterior(model, obs, obs_bin, x0, theta_fixed,
+                             path_transform=None):
+    """log p(x_{1:T} | y, theta) for 2-D SSMs (LV/FHN), theta fixed.
+
+    ``q`` is the flat (2*T,) UNCONSTRAINED path [dim1_{1:T}, dim2_{1:T}];
+    ``path_transform`` (a Bijector) maps it elementwise into state space
+    (e.g. ``Softplus()`` for positive LV paths) with its forward log-det
+    added, so HMC/NUTS runs in an unconstrained geometry. ``x0`` (2,) is the
+    fixed initial state (pinned, as the VI mask/shift pins it —
+    lotka_volterra_partial.py:292-297)."""
+    obs = jnp.asarray(obs)
+    obs_bin = jnp.asarray(obs_bin)
+    x0 = jnp.asarray(x0, jnp.float32)
+
+    def log_post(q):
+        u = q.reshape(2, -1)
+        if path_transform is not None:
+            xs = path_transform.forward(u)
+            ldj = jnp.sum(path_transform.forward_log_det(u))
+        else:
+            xs, ldj = u, 0.0
+        x = jnp.concatenate([x0[:, None], xs], axis=1)[None]
+        theta = jnp.asarray(theta_fixed)[None, :]
+        sde = model.transition_log_prob(x, theta)
+        obs_lp = model.observation_log_prob(x, obs[None], obs_bin[None], theta)
+        return (sde + obs_lp)[0] + ldj
+
+    return log_post
+
+
+def ssm2d_log_joint(model, obs, obs_bin, x0, path_transform=None,
+                    theta_transform=None):
+    """log p(theta, x_{1:T} | y) up to a constant, for 2-D SSMs.
+
+    ``q`` packs [theta_u (model.theta_dim), path_u (2*T)] — both
+    unconstrained; optional bijectors map them to their native spaces with
+    log-dets added (theta_transform e.g. ``Softplus()`` for positive-rate
+    models)."""
+    D = model.theta_dim
+    obs = jnp.asarray(obs)
+    obs_bin = jnp.asarray(obs_bin)
+    x0 = jnp.asarray(x0, jnp.float32)
+
+    def log_joint(q):
+        tu = q[:D]
+        if theta_transform is not None:
+            theta = theta_transform.forward(tu)
+            t_ldj = jnp.sum(theta_transform.forward_log_det(tu))
+        else:
+            theta, t_ldj = tu, 0.0
+        theta = theta[None, :]
+        u = q[D:].reshape(2, -1)
+        if path_transform is not None:
+            xs = path_transform.forward(u)
+            p_ldj = jnp.sum(path_transform.forward_log_det(u))
+        else:
+            xs, p_ldj = u, 0.0
+        x = jnp.concatenate([x0[:, None], xs], axis=1)[None]
+        sde = model.transition_log_prob(x, theta)
+        obs_lp = model.observation_log_prob(x, obs[None], obs_bin[None], theta)
+        prior = model.log_prior(theta)
+        return (sde + obs_lp + prior)[0] + t_ldj + p_ldj
+
+    return log_joint
+
+
 class MomentComparison(NamedTuple):
     mean_a: np.ndarray
     mean_b: np.ndarray
-    se: np.ndarray         # MC standard errors of a (per coordinate)
+    se: np.ndarray         # combined MC standard error (per coordinate)
     z: np.ndarray          # |mean_a - mean_b| / se
+    ess_a: np.ndarray      # real autocorrelation ESS of draws_a (per coord)
+    ess_b: np.ndarray      # real autocorrelation ESS of draws_b (per coord)
 
 
-def compare_moments(draws_a, draws_b, ess_factor: float = 0.1) -> MomentComparison:
+def _real_ess(draws) -> np.ndarray:
+    """Geyer autocorrelation ESS per coordinate (diagnostics.ess).
+
+    Accepts (num_samples, num_chains, dim) MCMC draws or (S, dim) flat
+    draws (treated as one chain — iid VI draws recover ESS ~ S). A single
+    row has no autocorrelation structure; its ESS is its nominal count."""
+    from viforssms_tpu.inference.mcmc.diagnostics import ess
+
+    x = np.asarray(draws, np.float64)
+    if x.ndim == 2:
+        x = x[:, None, :]
+    if x.shape[0] < 4:  # too short for an autocovariance estimate
+        return np.full(x.shape[-1], float(x.shape[0] * x.shape[1]))
+    return np.maximum(ess(x), 1.0)
+
+
+def compare_moments(draws_a, draws_b, ess_a=None, ess_b=None) -> MomentComparison:
     """Per-coordinate mean comparison in MC-standard-error units.
 
-    ``ess_factor`` discounts the nominal sample count for autocorrelation
-    (BASELINE target: agreement within 2 MC-SE)."""
-    a = np.asarray(draws_a).reshape(-1, np.asarray(draws_a).shape[-1])
-    b = np.asarray(draws_b).reshape(-1, np.asarray(draws_b).shape[-1])
+    The SE is the combined two-sample error ``sqrt(sd_a^2/ess_a +
+    sd_b^2/ess_b)`` where each ESS is the REAL Geyer autocorrelation
+    effective sample size (``mcmc.diagnostics.ess``) computed from the
+    draws — no nominal discount factor (BASELINE target: agreement within
+    2 MC-SE demands a defensible ESS). Pass ``ess_a``/``ess_b`` (scalar or
+    per-coordinate) only to override with an externally computed value.
+
+    ``draws_a``/``draws_b``: (num_samples, num_chains, dim) or (S, dim)."""
+    a = np.asarray(draws_a, np.float64)
+    b = np.asarray(draws_b, np.float64)
+    e_a = _real_ess(a) if ess_a is None else np.broadcast_to(
+        np.asarray(ess_a, np.float64), (a.shape[-1],)
+    )
+    e_b = _real_ess(b) if ess_b is None else np.broadcast_to(
+        np.asarray(ess_b, np.float64), (b.shape[-1],)
+    )
+    a = a.reshape(-1, a.shape[-1])
+    b = b.reshape(-1, b.shape[-1])
     mean_a, mean_b = a.mean(0), b.mean(0)
-    ess = max(a.shape[0] * ess_factor, 1.0)
-    se = a.std(0) / np.sqrt(ess) + 1e-12
-    return MomentComparison(mean_a, mean_b, se, np.abs(mean_a - mean_b) / se)
+    se = np.sqrt(a.var(0) / e_a + b.var(0) / e_b) + 1e-12
+    return MomentComparison(mean_a, mean_b, se, np.abs(mean_a - mean_b) / se,
+                            e_a, e_b)
 
 
 def smc_evidence_for_model(model, obs, obs_bin, x0, theta, n_particles, key):

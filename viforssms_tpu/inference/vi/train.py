@@ -149,6 +149,15 @@ class VIEngine:
                     "series-mode tables: sub-window ELBOs are not importance "
                     "weights of a fixed joint"
                 )
+            if self.theta_stl:
+                # The stopped-score trick is unbiased only for the K=1 ELBO;
+                # applied to the IWAE bound it is biased (Tucker et al. 2018,
+                # doubly-reparameterized gradients). Refuse the combination
+                # rather than silently optimizing the wrong objective.
+                raise ValueError(
+                    "theta_stl with iw_k > 1 gives a biased gradient of the "
+                    "IWAE bound (needs DReG weighting); set one or the other"
+                )
         # with-replacement iff windows don't cover p draws (AR.py:257-260)
         self.replace = cfg.batch_dims * cfg.p >= self.spec.target_dims
         use = self.stack_windows and not self.series_mode
@@ -281,13 +290,30 @@ class VIEngine:
     def _loss(self, params, key, starts, tables=None, stacked=None):
         t = self._terms(params, key, starts, tables, stacked)
         elbo = t.elbo
-        if self.cfg.train.nan_mask_loss:  # ..._learn_theta.py:482
-            elbo = jnp.where(jnp.isnan(elbo), jnp.zeros_like(elbo), elbo)
         if self.iw_k > 1:
             # per-group IWAE bound; groups are contiguous (starts repeat K)
             g = elbo.reshape(-1, self.iw_k)
-            loss = -jnp.mean(jax.nn.logsumexp(g, axis=1) - jnp.log(float(self.iw_k)))
+            if self.cfg.train.nan_mask_loss:  # ..._learn_theta.py:482
+                # A masked-to-0 particle would DOMINATE the group logsumexp
+                # (real full-series ELBOs are large-negative), saturating the
+                # bound at ~log K and zeroing every real particle's gradient.
+                # Instead drop non-finite members from the group: -inf kills
+                # their softmax weight, the log K divisor shrinks to the
+                # survivor count, and an all-bad group contributes 0 (the
+                # same neutral value the K=1 mask uses).
+                finite = jnp.isfinite(g)
+                n_ok = jnp.sum(finite, axis=1)
+                g = jnp.where(finite, g, -jnp.inf)
+                bound = jax.nn.logsumexp(g, axis=1) - jnp.log(
+                    jnp.maximum(n_ok, 1).astype(elbo.dtype)
+                )
+                bound = jnp.where(n_ok > 0, bound, jnp.zeros_like(bound))
+            else:
+                bound = jax.nn.logsumexp(g, axis=1) - jnp.log(float(self.iw_k))
+            loss = -jnp.mean(bound)
         else:
+            if self.cfg.train.nan_mask_loss:  # ..._learn_theta.py:482
+                elbo = jnp.where(jnp.isnan(elbo), jnp.zeros_like(elbo), elbo)
             loss = -jnp.mean(elbo)
         metrics_scale = self.cfg.elbo_scale
         metrics = StepMetrics(

@@ -64,13 +64,16 @@ class LotkaVolterra(SSM):
     prior_scale: Tuple[float, ...] = (1e-4, 1e-4, 1e-4)
     jitter: float = 0.0
     pretrain_target: float = 75.0
-    # Optional theta anchor for pre-training, in log-rate space. The reference
-    # BUILDS this op (t2 -> log([.5, .0025, .3]), lotka_volterra_partial.py:
-    # 304-305) but its LV loop only runs t1, so None (off) is the parity
-    # default; enabling it pins q(theta) near the anchor during pre-train,
-    # which rescues runs whose loose-prior ELBO otherwise converges to a
-    # rates-inflated local mode (docs/RESULTS.md aligned-mode study).
-    pretrain_theta_anchor: Tuple[float, ...] | None = None
+    # Theta anchor for pre-training, in log-rate space. The reference BUILDS
+    # this op (t2 -> log([.5, .0025, .3]), lotka_volterra_partial.py:304-305,
+    # and RUNS the analogous anchor in SV_dense.py:253-254) though its LV
+    # loop only runs t1. Anchoring pins q(theta) near the anchor during
+    # pre-train, which rescues runs whose loose-prior ELBO otherwise
+    # converges to a rates-inflated local mode — the seeds 2-5 study
+    # (docs/RESULTS.md) measured it fixing 8/8 runs, so it is ON by default
+    # ("prior" = anchor at ``prior_mean``, matching SV/FHN); set None for a
+    # strict-parity pre-train, or an explicit tuple of log-rates.
+    pretrain_theta_anchor: Tuple[float, ...] | str | None = "prior"
 
     flow_dims = 2
     theta_dim = 3
@@ -155,8 +158,11 @@ class LotkaVolterra(SSM):
     def pretrain_loss(self, x, theta, y, obs_mask):
         del y, obs_mask
         loss = jnp.mean((x - self.pretrain_target) ** 2)
-        if self.pretrain_theta_anchor is not None:
-            anchor = jnp.asarray(self.pretrain_theta_anchor, theta.dtype)
+        anchor = self.pretrain_theta_anchor
+        if anchor is not None:
+            if anchor == "prior":
+                anchor = self.prior_mean
+            anchor = jnp.asarray(anchor, theta.dtype)
             loss = loss + jnp.mean((theta - anchor) ** 2)
         return loss
 
