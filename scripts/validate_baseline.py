@@ -38,6 +38,15 @@ VAL_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
                        "validation")
 
 
+def _dat_dir():
+    """The original reference datasets (dat/LV_obs_*.txt, dat/SV.dat):
+    repo-local copy if present, else the read-only reference checkout."""
+    for cand in ("/root/repo/dat", "/root/reference/dat", "dat"):
+        if os.path.isdir(cand):
+            return cand
+    raise FileNotFoundError("no dat/ directory with the reference datasets")
+
+
 # ---------------------------------------------------------------------------
 # shared plumbing
 # ---------------------------------------------------------------------------
@@ -228,7 +237,7 @@ def validate_lv_partial(fast=False):
     from viforssms_tpu.inference.mcmc.nuts import nuts_sample
     from viforssms_tpu.inference.validate import ssm2d_path_log_posterior
 
-    eng, info = build_lv_partial()
+    eng, info = build_lv_partial(dat_dir=_dat_dir())
     steps = 2_000 if fast else 30_000
     state = _train_or_restore(eng, os.path.join(VAL_DIR, "lv_partial"),
                               finite_gate=200 if fast else 1000, num_steps=steps)
@@ -380,7 +389,7 @@ def validate_sv(fast=False):
     from viforssms_tpu.cli.experiments import build_sv_dense
     from viforssms_tpu.inference.mcmc.nuts import nuts_sample
 
-    eng, info = build_sv_dense()
+    eng, info = build_sv_dense(sv_file=os.path.join(_dat_dir(), "SV.dat"))
     steps = 2_000 if fast else 20_000
     state = _train_or_restore(eng, os.path.join(VAL_DIR, "sv"),
                               pretrain=200 if fast else 1000, num_steps=steps)

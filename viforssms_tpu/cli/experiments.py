@@ -123,6 +123,33 @@ def _common(out_dir, eng, num_steps, pretrain, finite_gate=None, truth_theta=Non
     return state
 
 
+def _maybe_sequence(eng, sequence_sharded=False, mesh_spec=None):
+    """Swap a windowed engine for the full-path sequence-sharded one.
+
+    ``mesh_spec`` is "P,S" (particle x sequence axis sizes); with no spec the
+    sequence axis takes the most local devices that split the path evenly
+    (VERDICT round-1 item 5: sequence sharding as a product path)."""
+    if not sequence_sharded:
+        return eng
+    import jax
+
+    from viforssms_tpu.inference.vi.sequence_train import SequenceVIEngine
+    from viforssms_tpu.parallel.mesh import make_mesh
+
+    if mesh_spec:
+        p_ax, s_ax = (int(v) for v in str(mesh_spec).split(","))
+    else:
+        d = eng.spec.flow_dims
+        L_total = d * eng.spec.target_dims
+        p_ax, s_ax = 1, jax.device_count()
+        while s_ax > 1 and (L_total % s_ax or (L_total // s_ax) % d):
+            s_ax -= 1
+    mesh = make_mesh((p_ax, s_ax), ("particles", "sequence"))
+    print(f"sequence-sharded engine on mesh particles={p_ax} x sequence={s_ax}",
+          flush=True)
+    return SequenceVIEngine.from_windowed(eng, mesh=mesh)
+
+
 def build_lv_partial(dat_dir="dat", synthetic=False, transposed=False):
     """Engine + data for LV partial at the reference configuration
     (lotka_volterra_partial.py:467-477). Shared by run_lv_partial and
@@ -166,9 +193,10 @@ def build_lv_partial(dat_dir="dat", synthetic=False, transposed=False):
 
 def run_lv_partial(dat_dir="dat", out_dir="out/lv_partial", steps=20_000,
                    synthetic=False, pretrain_gate=1000, resume=False,
-                   transposed=False):
+                   transposed=False, sequence_sharded=False, mesh_spec=None):
     """LV partially observed, fixed data (lotka_volterra_partial.py:465-530)."""
     eng, info = build_lv_partial(dat_dir, synthetic, transposed)
+    eng = _maybe_sequence(eng, sequence_sharded, mesh_spec)
     return _common(out_dir, eng, steps, pretrain=None, finite_gate=pretrain_gate,
                    truth_theta=info["theta_prior_mean"], resume=resume)
 
@@ -199,9 +227,11 @@ def build_sv_dense(sv_file="dat/SV.dat"):
 
 
 def run_sv_dense(sv_file="dat/SV.dat", out_dir="out/sv_dense", steps=20_000,
-                 pretrain=1000, resume=False):
+                 pretrain=1000, resume=False, sequence_sharded=False,
+                 mesh_spec=None):
     """Stochastic volatility on real returns (SV_dense.py:404-463)."""
     eng, _ = build_sv_dense(sv_file)
+    eng = _maybe_sequence(eng, sequence_sharded, mesh_spec)
     return _common(out_dir, eng, steps, pretrain=pretrain, resume=resume)
 
 
@@ -250,9 +280,10 @@ def build_fitz_nag(dat_dir="dat", synthetic=False, T=100.0, seed=1,
 
 def run_fitz_nag(dat_dir="dat", out_dir="out/fitz_nag", steps=20_000,
                  synthetic=False, T=100.0, pretrain_gate=1000, resume=False,
-                 export_rows=8192):
+                 export_rows=8192, sequence_sharded=False, mesh_spec=None):
     """FitzHugh-Nagumo partial obs (fitz_nag_NVP.py:451-518)."""
     eng, info = build_fitz_nag(dat_dir, synthetic, T)
+    eng = _maybe_sequence(eng, sequence_sharded, mesh_spec)
     target = info["target"]
     # very long series: skip the prior-predictive dump (it costs a full
     # all-windows pass before training) and bound the export program size
@@ -505,6 +536,13 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     lv = sub.add_parser("lv-partial")
+    lv.add_argument("--sequence-sharded", action="store_true",
+                    help="Train the EXACT full-path ELBO with the time "
+                         "axis sharded over the device mesh "
+                         "(inference/vi/sequence_train.py)")
+    lv.add_argument("--mesh", default=None, metavar="P,S",
+                    help="particles x sequence mesh axis sizes "
+                         "(default: 1 x most devices that split the path)")
     lv.add_argument("--dat-dir", default="dat")
     lv.add_argument("--out", default="out/lv_partial")
     lv.add_argument("--steps", type=int, default=20_000)
@@ -519,6 +557,13 @@ def main(argv=None):
                          "measures.")
 
     sv = sub.add_parser("sv-dense")
+    sv.add_argument("--sequence-sharded", action="store_true",
+                    help="Train the EXACT full-path ELBO with the time "
+                         "axis sharded over the device mesh "
+                         "(inference/vi/sequence_train.py)")
+    sv.add_argument("--mesh", default=None, metavar="P,S",
+                    help="particles x sequence mesh axis sizes "
+                         "(default: 1 x most devices that split the path)")
     sv.add_argument("--sv-file", default="dat/SV.dat")
     sv.add_argument("--out", default="out/sv_dense")
     sv.add_argument("--steps", type=int, default=20_000)
@@ -526,6 +571,13 @@ def main(argv=None):
     sv.add_argument("--resume", action="store_true")
 
     fn = sub.add_parser("fitz-nag")
+    fn.add_argument("--sequence-sharded", action="store_true",
+                    help="Train the EXACT full-path ELBO with the time "
+                         "axis sharded over the device mesh "
+                         "(inference/vi/sequence_train.py)")
+    fn.add_argument("--mesh", default=None, metavar="P,S",
+                    help="particles x sequence mesh axis sizes "
+                         "(default: 1 x most devices that split the path)")
     fn.add_argument("--dat-dir", default="dat")
     fn.add_argument("--out", default="out/fitz_nag")
     fn.add_argument("--steps", type=int, default=20_000)
@@ -584,14 +636,20 @@ def main(argv=None):
     if args.cmd == "lv-partial":
         run_lv_partial(args.dat_dir, args.out, args.steps, args.synthetic,
                        args.pretrain_gate, resume=args.resume,
-                       transposed=args.transposed)
+                       transposed=args.transposed,
+                       sequence_sharded=args.sequence_sharded,
+                       mesh_spec=args.mesh)
     elif args.cmd == "sv-dense":
         run_sv_dense(args.sv_file, args.out, args.steps, args.pretrain,
-                     resume=args.resume)
+                     resume=args.resume,
+                     sequence_sharded=args.sequence_sharded,
+                     mesh_spec=args.mesh)
     elif args.cmd == "fitz-nag":
         run_fitz_nag(args.dat_dir, args.out, args.steps, args.synthetic, args.T,
                      args.pretrain_gate, resume=args.resume,
-                     export_rows=args.export_rows)
+                     export_rows=args.export_rows,
+                     sequence_sharded=args.sequence_sharded,
+                     mesh_spec=args.mesh)
     elif args.cmd == "lv-learn-theta":
         run_lv_learn_theta(args.dat_dir, args.out, args.epochs,
                            args.pre_train_epochs, args.synthetic,

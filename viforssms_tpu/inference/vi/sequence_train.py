@@ -8,34 +8,48 @@ ENTIRE path across the mesh and optimize the EXACT full-path ELBO — no window
 subsampling, no rescaling variance. Per step:
 
   * base noise + aligned features halo-exchange ``no_flows*kernel_len``
-    positions once (ring ``ppermute`` over ICI, ``parallel/halo.py``);
+    positions once (ring ``ppermute`` over ICI, ``parallel/halo.py``); the
+    global left edge (device 0) is conditioned on the feature table's real
+    padding block and free context noise, matching the windowed path;
   * each device runs the ordinary flow stack on its chunk
     (``flows/sharded.py`` layout);
   * the model's elementwise path transform runs locally; the TRANSFORMED
     state then halo-exchanges ``flow_dims`` positions so every device owns
     the (x_{t-1}, x_t) pairs that cross its left boundary (device 0 uses x0);
   * transition/observation/path-density terms reduce with ``psum``; theta
-    terms are replicated.
+    terms are replicated over the sequence axis and shard over the particle
+    axis of a 2-D (particles x sequence) mesh.
 
 The result equals the unsharded full-path ELBO exactly (tests); gradients
 flow through ``ppermute``/``psum`` (their transposes are inserted by JAX), so
 one ``jax.grad`` + Adamax step trains across the slice.
 
-Restrictions: aligned 2-D features (the transposed projection is global —
-``flows/sharded.py``); models whose ``transform_path`` is elementwise with
-the mask/shift first-column pinning convention (AR1, LV, FHN, i.e. everything
-except series-mode learn-theta, whose per-window x0 prior is tied to the
-series axis, and SV's observed-dim injection).
+:class:`SequenceVIEngine` is the product path: built from the SAME
+``(model, cfg, tables, spec)`` as the windowed :class:`~viforssms_tpu.
+inference.vi.train.VIEngine`, it derives the full-path arrays from the
+feature tables, supports pre-training (finite gates), scan-chunked fits,
+checkpointing, metrics, and SV's observed-dim injection
+(``SV_dense.py:193-194,245-246``), over a 1-D ``(sequence,)`` or 2-D
+``(particles, sequence)`` mesh.
+
+Restriction: 2-D flows need aligned features (the reference's transposed
+projection is global over the window — ``flows/sharded.py``). Series-mode
+learn-theta stays on the windowed engine (each series IS one window).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from viforssms_tpu.core.config import VIConfig
+from viforssms_tpu.data.features import WindowSpec, WindowTables
 from viforssms_tpu.flows.nma import NMAFlowStack
 from viforssms_tpu.parallel.halo import halo_exchange_left
 
@@ -59,89 +73,137 @@ def _local_flow(flow: NMAFlowStack, local: int) -> NMAFlowStack:
         mu_softplus=flow.mu_softplus,
         sigma_eps=flow.sigma_eps,
         aligned_feats=flow.aligned_feats,
+        fused_tail=flow.fused_tail,
+        conv_mode=flow.conv_mode,
+        compute_dtype=flow.compute_dtype,
+        batched_feat_mlp=flow.batched_feat_mlp,
         remat=flow.remat,
     )
 
 
 def sequence_sharded_elbo(model, flow: NMAFlowStack, params, z, feats, y,
-                          obs_mask, theta, x0, mesh, axis: str = "sequence"):
+                          obs_mask, theta, x0, mesh, axis: str = "sequence",
+                          *, particle_axis: Optional[str] = None,
+                          edge_feats=None, z_ctx=None, dim_one=None):
     """Exact full-path ELBO path terms with the time axis sharded.
 
     z: (p, L_total) base noise, L_total = flow_dims * T;
-    feats: (p, L_total, F) aligned features; y/obs_mask: (p, T) for 1-D
-    models or (p, 2, T) for 2-D; theta: (p, D) replicated; x0: scalar or
-    (flow_dims,) initial state. Returns :class:`SeqELBOTerms` WITHOUT the
-    theta/prior terms (caller adds them; they are particle-local).
+    feats: (p, L_total, F) per-particle OR (L_total, F) shared aligned
+    features (shared features ride the sequence axis only — no p-fold HBM);
+    y/obs_mask: per-particle (p, T) / (p, 2, T) or shared (T,) / (2, T);
+    theta: (p, D); x0: scalar or (flow_dims,) initial state.
+
+    Keyword extensions (the product-engine path):
+      * ``particle_axis`` — also shard the leading p axis over this mesh axis
+        (2-D particles x sequence composition);
+      * ``edge_feats`` — (context, F) real feature rows conditioning device
+        0's halo (the table's padding block) instead of zeros;
+      * ``z_ctx`` — (p, context) free context noise for device 0 (the
+        windowed base dist's uncounted context columns, ``AR.py:31-35``);
+      * ``dim_one`` — (T + 1,) observed series for SV's injected dim
+        (``SV_dense.py:245-246``): the flow samples the 1-D latent, the model
+        path is assembled as [observed; latent].
+
+    Returns :class:`SeqELBOTerms` WITHOUT the theta/prior terms (caller adds
+    them; they are particle-local).
     """
     assert flow.flow_dims == 1 or flow.aligned_feats, (
         "sequence sharding requires aligned features for 2-D flows"
     )
     d = flow.flow_dims
+    observed_dim = bool(getattr(model, "observed_dim", False)) and dim_one is not None
     context = flow.no_flows * flow.kernel_len
     n = mesh.shape[axis]
     p, L_total = z.shape
     assert L_total % n == 0 and (L_total // n) % d == 0, (L_total, n, d)
     local = L_total // n
     lflow = _local_flow(flow, local)
-    x0_vec = jnp.broadcast_to(jnp.asarray(x0, z.dtype).reshape(-1), (d,))
+    d_model = 2 if observed_dim else d
+    if observed_dim:
+        x0_vec = jnp.stack([jnp.asarray(dim_one[0], z.dtype),
+                            jnp.asarray(x0, z.dtype).reshape(())])
+    else:
+        x0_vec = jnp.broadcast_to(jnp.asarray(x0, z.dtype).reshape(-1), (d,))
+    shared_feats = feats.ndim == 2
+    shared_obs = y.ndim == (1 if d == 1 else 2)
+    edge_feats_t = None if edge_feats is None else jnp.asarray(edge_feats).T
+    pa = particle_axis
 
-    def run_local(z_c, f_c, th, y_c, m_c):
-        # flow over [left-halo | my chunk]
-        z_ext = halo_exchange_left(z_c, context, axis)
-        f_ext = jnp.moveaxis(
-            halo_exchange_left(jnp.moveaxis(f_c, 1, 2), context, axis), 2, 1
-        )
-        x_raw, lq = lflow.apply(params, z_ext, f_ext, th)   # (p, local), (p,)
+    def run_local(z_c, f_c, th, y_c, m_c, zc_c, d1_c):
+        pl = z_c.shape[0]  # local particle count (p / mesh.shape[pa])
+        # flow over [left-halo | my chunk]; device 0's halo carries the
+        # table's padding features + free context noise
+        z_ext = halo_exchange_left(z_c, context, axis, edge=zc_c)
+        if shared_feats:
+            f_ext1 = halo_exchange_left(f_c.T, context, axis, edge=edge_feats_t)
+            f_ext = jnp.broadcast_to(
+                jnp.transpose(f_ext1)[None], (pl,) + f_ext1.T.shape)
+        else:
+            f_ext = jnp.moveaxis(
+                halo_exchange_left(jnp.moveaxis(f_c, 1, 2), context, axis,
+                                   edge=edge_feats_t), 2, 1)
+        x_raw, lq = lflow.apply(params, z_ext, f_ext, th)   # (pl, local), (pl,)
 
         W = local // d
         if d == 1:
-            raw = x_raw[:, None, :]                          # (p, 1, W)
+            raw = x_raw[:, None, :]                          # (pl, 1, W)
         else:
-            raw = jnp.transpose(x_raw.reshape(p, W, d), (0, 2, 1))
-        if model.uses_mask_shift:
+            raw = jnp.transpose(x_raw.reshape(pl, W, d), (0, 2, 1))
+        if observed_dim:
+            # SV: inject the observed dim above the sampled latent
+            obs_body = jnp.broadcast_to(d1_c[None, None, :], (pl, 1, W))
+            body = jnp.concatenate([obs_body, raw], axis=1)  # (pl, 2, W)
+        elif model.uses_mask_shift:
             # elementwise transform on local positions; the dummy first
             # column (masked to 0, shifted by 0) is discarded below
             raw_ext = jnp.concatenate(
-                [jnp.zeros((p, d, 1), raw.dtype), raw], axis=2)
-            mask = jnp.ones((p, d, W + 1), raw.dtype).at[:, :, 0].set(0.0)
-            shift = jnp.zeros((p, d, W + 1), raw.dtype)
+                [jnp.zeros((pl, d, 1), raw.dtype), raw], axis=2)
+            mask = jnp.ones((pl, d, W + 1), raw.dtype).at[:, :, 0].set(0.0)
+            shift = jnp.zeros((pl, d, W + 1), raw.dtype)
             x_t, log_det = model.transform_path(raw_ext, mask, shift)
-            body = x_t[:, :, 1:]                             # (p, d, W)
+            body = x_t[:, :, 1:]                             # (pl, d, W)
             lq = lq + log_det
         else:
             body = raw
 
         # edge state: left neighbor's last (transformed) state; x0 on device 0
-        flat = jnp.transpose(body, (0, 2, 1)).reshape(p, local)
-        ext = halo_exchange_left(flat, d, axis)              # (p, local + d)
-        idx = jax.lax.axis_index(axis)
-        edge = jnp.where(idx == 0,
-                         jnp.broadcast_to(x0_vec[None, :], (p, d)),
-                         ext[:, :d])
-        ext = jnp.concatenate([edge, ext[:, d:]], axis=1)
-        x_full = jnp.transpose(ext.reshape(p, W + 1, d), (0, 2, 1))
-        if d == 1:
-            x_full = x_full[:, 0, :]                         # (p, W+1)
+        flat = jnp.transpose(body, (0, 2, 1)).reshape(pl, d_model * W)
+        ext = halo_exchange_left(flat, d_model, axis, edge=x0_vec)
+        x_full = jnp.transpose(ext.reshape(pl, W + 1, d_model), (0, 2, 1))
+        if d_model == 1:
+            x_full = x_full[:, 0, :]                         # (pl, W+1)
 
+        if shared_obs:
+            y_b = jnp.broadcast_to(y_c[None], (pl,) + y_c.shape)
+            m_b = jnp.broadcast_to(m_c[None], (pl,) + m_c.shape)
+        else:
+            y_b, m_b = y_c, m_c
         sde = model.transition_log_prob(x_full, th)
-        obs = model.observation_log_prob(x_full, y_c, m_c, th)
+        obs = model.observation_log_prob(x_full, y_b, m_b, th)
         return (
             jax.lax.psum(sde, axis),
             jax.lax.psum(obs, axis),
             jax.lax.psum(lq, axis),
-            body if d > 1 else body[:, 0, :],
+            body if d_model > 1 else body[:, 0, :],
         )
 
-    y_spec = P(None, axis) if d == 1 else P(None, None, axis)
-    x_spec = P(None, axis) if d == 1 else P(None, None, axis)
+    if shared_obs:
+        y_spec = P(axis) if d == 1 else P(None, axis)
+    else:
+        y_spec = P(pa, axis) if d == 1 else P(pa, None, axis)
+    x_spec = P(pa, axis) if d_model == 1 else P(pa, None, axis)
+    f_spec = P(axis, None) if shared_feats else P(pa, axis, None)
+    zc_spec = None if z_ctx is None else P(pa, None)
+    d1_spec = None if dim_one is None else P(axis)
+    d1_body = None if dim_one is None else dim_one[1:]
     f = jax.shard_map(
         run_local,
         mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis, None), P(None, None),
-                  y_spec, y_spec),
-        out_specs=(P(None), P(None), P(None), x_spec),
+        in_specs=(P(pa, axis), f_spec, P(pa, None), y_spec, y_spec,
+                  zc_spec, d1_spec),
+        out_specs=(P(pa), P(pa), P(pa), x_spec),
     )
-    sde, obs, lq, x = f(z, feats, theta, y, obs_mask)
+    sde, obs, lq, x = f(z, feats, theta, y, obs_mask, z_ctx, d1_body)
     elbo = sde - lq + obs
     return SeqELBOTerms(elbo, sde, obs, lq, x)
 
@@ -192,9 +254,335 @@ def make_sequence_train_step(model, flow: NMAFlowStack, opt, mesh,
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, sub, feats, y, obs_mask)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        import optax
-
         params = optax.apply_updates(state.params, updates)
         return SeqTrainState(params, opt_state, key, state.step + 1), loss, terms
 
     return train_step
+
+
+# ---------------------------------------------------------------------------
+# Product engine
+# ---------------------------------------------------------------------------
+
+def _singleton_mesh(particle_axis: str, sequence_axis: str) -> Mesh:
+    dev = np.asarray(jax.devices()[:1]).reshape(1, 1)
+    return Mesh(dev, (particle_axis, sequence_axis))
+
+
+@dataclasses.dataclass
+class SequenceVIEngine:
+    """Full-path sequence-sharded VI training as a first-class engine.
+
+    Drop-in sibling of the windowed :class:`VIEngine`: same constructor
+    family ``(model, cfg, tables, spec)``, same :class:`TrainState` layout
+    (checkpoint-compatible), same ``pretrain``/``fit`` loop semantics — but
+    each step optimizes the EXACT full-path ELBO with the time axis sharded
+    over ``mesh``'s ``sequence`` axis and particles over its ``particles``
+    axis (either axis may be size 1; ``mesh=None`` builds a single-device
+    1x1 mesh so one compiled program serves every topology).
+
+    Full-path arrays are derived from the SAME feature tables the windowed
+    engine uses: for latent position t the aligned feature row is
+    ``tables.feat[offset + t]`` with ``offset = kernel_ext - flow_dims *
+    batch_dims`` (the windowed gather's target alignment,
+    ``data/features.gather_windows``); device 0's halo is conditioned on the
+    table's real padding block (``AR.py:137-150`` semantics) plus free
+    context noise, so the full-path variational family matches the windowed
+    family at window 0 rather than a zero-padded approximation.
+    """
+
+    model: Any
+    cfg: VIConfig
+    tables: WindowTables
+    spec: WindowSpec
+    mesh: Optional[Mesh] = None
+    particle_axis: str = "particles"
+    sequence_axis: str = "sequence"
+    fix_theta_value: Optional[np.ndarray] = None
+    theta_base_loc: float = 0.0
+    theta_base_scale: float = 1.0
+    use_norm: bool = False
+    donate: bool = True
+    matmul_precision: Any = None
+
+    def __post_init__(self):
+        from viforssms_tpu.inference.vi.adamax import adamax, clipped_adamax
+        from viforssms_tpu.inference.vi.theta_flow import ThetaPosterior
+
+        cfg, spec = self.cfg, self.spec
+        d, T = spec.flow_dims, spec.target_dims
+        self.L_total = d * T
+        self.context = cfg.flow.no_flows * cfg.flow.kernel_len
+        if self.mesh is None:
+            self.mesh = _singleton_mesh(self.particle_axis, self.sequence_axis)
+        assert self.particle_axis in self.mesh.shape, self.mesh
+        assert self.sequence_axis in self.mesh.shape, self.mesh
+        n_seq = self.mesh.shape[self.sequence_axis]
+        assert self.L_total % n_seq == 0 and (self.L_total // n_seq) % d == 0, (
+            f"L_total={self.L_total} must split evenly over "
+            f"{n_seq} sequence shards (even chunks for 2-D interleave)")
+        assert cfg.p % self.mesh.shape[self.particle_axis] == 0, (
+            cfg.p, self.mesh.shape)
+        self.flow = NMAFlowStack(
+            network_dims=tuple(cfg.flow.network_dims),
+            kernel_len=cfg.flow.kernel_len,
+            no_flows=cfg.flow.no_flows,
+            batch_dims=T,
+            flow_dims=d,
+            use_norm=self.use_norm,
+            mu_softplus=cfg.flow.mu_softplus,
+            sigma_eps=cfg.flow.sigma_eps,
+            aligned_feats=True,  # transposed mode cannot shard (flows/sharded.py)
+            conv_mode=getattr(cfg.flow, "conv_mode", "conv"),
+            compute_dtype=getattr(cfg.flow, "compute_dtype", "float32"),
+            remat=cfg.flow.remat,
+        )
+        self.theta_flow = ThetaPosterior(
+            dim=self.model.theta_dim,
+            num_bijectors=cfg.theta_num_bijectors,
+            hidden=tuple(cfg.theta_hidden),
+            softplus=cfg.theta_softplus,
+            base_loc=self.theta_base_loc,
+            base_scale=self.theta_base_scale,
+        )
+        self.opt = clipped_adamax(
+            learning_rate=cfg.train.learn_rate,
+            beta1=cfg.train.beta1,
+            beta2=cfg.train.beta2,
+            grad_clip=cfg.train.grad_clip,
+        )
+        self.pre_opt = optax.flatten(adamax(
+            learning_rate=cfg.train.pre_train_lr, beta1=cfg.train.pre_train_beta1
+        ))
+        self._derive_data()
+        self._build_steps()
+
+    def _derive_data(self):
+        """Full-path arrays from the windowed tables (see class docstring)."""
+        spec, tables = self.spec, self.tables
+        d, T = spec.flow_dims, spec.target_dims
+        offset = spec.kernel_ext - d * spec.batch_dims
+        assert offset >= self.context, (offset, self.context)
+        feat = np.asarray(tables.feat)
+        self.feats_full = jnp.asarray(feat[offset : offset + self.L_total])
+        self.edge_feats = jnp.asarray(feat[offset - self.context : offset])
+        self.x0 = np.asarray(tables.shift)[:, 0] if d > 1 else float(
+            np.asarray(tables.shift)[0, 0])
+        self.dim_one = tables.dim_one  # (T+1,) or None (SV only)
+        if getattr(self.model, "observed_dim", False):
+            assert self.dim_one is not None, "SV tables must carry dim_one"
+            self.y_full = jnp.zeros((T,), jnp.float32)       # unused by model
+            self.mask_full = jnp.zeros((T,), jnp.float32)
+        elif d == 1:
+            self.y_full = self.feats_full[:, 0]
+            self.mask_full = self.feats_full[:, -1]          # obs indicator
+        else:
+            y = np.asarray(self.feats_full[:, 0]).reshape(T, d).T
+            self.y_full = jnp.asarray(y)                     # (2, T)
+            self.mask_full = jnp.asarray(np.asarray(tables.bin_feed))
+
+    # ---- parameter init (TrainState layout shared with VIEngine) ----
+    def init(self, key):
+        from viforssms_tpu.inference.vi.train import TrainState
+
+        cfg = self.cfg
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        z = jnp.zeros((1, self.L_total + self.context))
+        feats = jnp.zeros((1, self.L_total + self.context,
+                           self.tables.feat.shape[-1]))
+        theta0 = jnp.zeros((1, self.model.theta_dim))
+        flow_params = self.flow.init(k1, z, feats, theta0)
+        theta_params = self.theta_flow.init(k2, k3, cfg.p)
+        params = {"flow": flow_params, "theta": theta_params}
+        return TrainState(
+            params=params,
+            opt_state=self.opt.init(params),
+            pre_opt_state=self.pre_opt.init(params),
+            key=k4,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ---- losses ----
+    def _terms(self, params, key, theta):
+        k_z, k_c = jax.random.split(key)
+        p = theta.shape[0]
+        z = jax.lax.with_sharding_constraint(
+            jax.random.normal(k_z, (p, self.L_total)),
+            NamedSharding(self.mesh, P(self.particle_axis, self.sequence_axis)))
+        z_ctx = jax.random.normal(k_c, (p, self.context))
+        return sequence_sharded_elbo(
+            self.model, self.flow, params["flow"], z, self.feats_full,
+            self.y_full, self.mask_full, theta, self.x0, self.mesh,
+            self.sequence_axis, particle_axis=self.particle_axis,
+            edge_feats=self.edge_feats, z_ctx=z_ctx, dim_one=self.dim_one)
+
+    def _theta(self, params, key):
+        p = self.cfg.p
+        if self.fix_theta_value is not None:
+            theta = jnp.tile(jnp.asarray(self.fix_theta_value)[None, :], (p, 1))
+            zero = jnp.zeros(p, theta.dtype)
+            return theta, zero, zero
+        theta, theta_lq = self.theta_flow.apply(
+            params["theta"], key, p,
+            method=type(self.theta_flow).sample_and_log_prob)
+        return theta, theta_lq, self.model.log_prior(theta)
+
+    def _loss(self, params, key):
+        from viforssms_tpu.inference.vi.train import StepMetrics
+
+        k_t, k_p = jax.random.split(key)
+        theta, theta_lq, prior_lp = self._theta(params, k_t)
+        t = self._terms(params, k_p, theta)
+        elbo = t.elbo + prior_lp - theta_lq
+        if self.cfg.train.nan_mask_loss:
+            elbo = jnp.where(jnp.isnan(elbo), jnp.zeros_like(elbo), elbo)
+        loss = -jnp.mean(elbo)
+        metrics = StepMetrics(
+            elbo=-loss, sde_lp=jnp.mean(t.sde_lp), obs_lp=jnp.mean(t.obs_lp),
+            path_lq=jnp.mean(t.path_lq), theta_lq=jnp.mean(theta_lq),
+            prior_lp=jnp.mean(prior_lp), grad_norm=jnp.zeros(()),
+        )
+        return loss, metrics
+
+    def _x_with_edge(self, x):
+        """Prepend the x0 column so model.pretrain_loss sees the windowed
+        (p, [d,] W+1) layout."""
+        p = x.shape[0]
+        if x.ndim == 2:
+            col = jnp.full((p, 1), jnp.asarray(self.x0, x.dtype))
+            return jnp.concatenate([col, x], axis=1)
+        d_model = x.shape[1]
+        if getattr(self.model, "observed_dim", False):
+            edge = jnp.stack([jnp.asarray(self.dim_one[0], x.dtype),
+                              jnp.asarray(self.x0, x.dtype).reshape(())])
+        else:
+            edge = jnp.broadcast_to(
+                jnp.asarray(self.x0, x.dtype).reshape(-1), (d_model,))
+        col = jnp.broadcast_to(edge[None, :, None], (p, d_model, 1))
+        return jnp.concatenate([col, x], axis=2)
+
+    def _pre_loss(self, params, key):
+        k_t, k_p = jax.random.split(key)
+        theta, _, _ = self._theta(params, k_t)
+        t = self._terms(params, k_p, theta)
+        x = self._x_with_edge(t.x)
+        p = x.shape[0]
+        y = jnp.broadcast_to(self.y_full[None], (p,) + self.y_full.shape)
+        m = jnp.broadcast_to(self.mask_full[None], (p,) + self.mask_full.shape)
+        return self.model.pretrain_loss(x, theta, y, m), t
+
+    # ---- jitted steps (mirrors VIEngine._build_steps) ----
+    def _build_steps(self):
+        from viforssms_tpu.inference.vi.train import TrainState
+
+        donate = (0,) if self.donate else ()
+
+        def prec(f):
+            if self.matmul_precision is None:
+                return f
+            def g(*a, **k):
+                with jax.default_matmul_precision(self.matmul_precision):
+                    return f(*a, **k)
+            return g
+
+        def train_step(state: TrainState):
+            key, k_loss = jax.random.split(state.key)
+            (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                state.params, k_loss)
+            gnorm = jnp.linalg.norm(jax.flatten_util.ravel_pytree(grads)[0])
+            updates, opt_state = self.opt.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = metrics._replace(grad_norm=gnorm)
+            return (
+                TrainState(params, opt_state, state.pre_opt_state, key, state.step + 1),
+                metrics,
+            )
+
+        def pretrain_step(state: TrainState):
+            key, k_loss = jax.random.split(state.key)
+            (loss, t), grads = jax.value_and_grad(self._pre_loss, has_aux=True)(
+                state.params, k_loss)
+            updates, pre_opt_state = self.pre_opt.update(
+                grads, state.pre_opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            finite = jnp.all(jnp.isfinite(t.path_lq))
+            return (
+                TrainState(params, state.opt_state, pre_opt_state, key, state.step + 1),
+                loss,
+                finite,
+            )
+
+        def train_many(state: TrainState, num_steps: int):
+            def body(s, _):
+                return train_step(s)
+
+            return jax.lax.scan(body, state, None, length=num_steps)
+
+        def pretrain_many(state: TrainState, num_steps: int):
+            def body(s, _):
+                s, loss, finite = pretrain_step(s)
+                return s, (loss, finite)
+
+            state, (losses, finites) = jax.lax.scan(
+                body, state, None, length=num_steps)
+            return state, losses, finites
+
+        self.train_step = jax.jit(prec(train_step), donate_argnums=donate)
+        self.pretrain_step = jax.jit(prec(pretrain_step), donate_argnums=donate)
+        self.train_many = jax.jit(prec(train_many), static_argnums=1,
+                                  donate_argnums=donate)
+        self.pretrain_many = jax.jit(prec(pretrain_many), static_argnums=1,
+                                     donate_argnums=donate)
+        self._eval_terms = jax.jit(prec(
+            lambda params, key: self._terms(
+                params, jax.random.split(key)[1],
+                self._theta(params, jax.random.split(key)[0])[0])))
+
+    # reuse the windowed engine's host loops verbatim — they only touch the
+    # step methods built above and cfg.train (checkpointing, finite gates,
+    # scan chunking, preemption hooks)
+    def _import_loops():
+        from viforssms_tpu.inference.vi.train import VIEngine
+
+        return VIEngine.pretrain, VIEngine.fit, VIEngine.sample_theta
+
+    pretrain, fit, sample_theta = _import_loops()
+    del _import_loops
+
+    def sample_posterior_paths(self, params, key, max_rows: int = 8192):
+        """Posterior full paths: (p, T) for 1-D models, (p, 2, T) for 2-D /
+        SV (observed dim injected) — matching the windowed engine's layout.
+        ``max_rows`` is accepted for CLI interface parity (the full-path
+        program always evaluates all p particles in one dispatch)."""
+        del max_rows
+        t = self._eval_terms(params, key)
+        return np.asarray(t.x)
+
+    @classmethod
+    def from_windowed(cls, eng, mesh: Optional[Mesh] = None,
+                      **overrides) -> "SequenceVIEngine":
+        """Convert a windowed :class:`VIEngine` into the full-path
+        sequence-sharded engine over ``mesh`` — same model, config, tables,
+        theta posterior and parameter shapes (a windowed checkpoint's params
+        drop straight in; optimizer state restarts)."""
+        kw = dict(
+            model=eng.model, cfg=eng.cfg, tables=eng.tables, spec=eng.spec,
+            mesh=mesh, fix_theta_value=eng.fix_theta_value,
+            theta_base_loc=eng.theta_base_loc,
+            theta_base_scale=eng.theta_base_scale, use_norm=eng.use_norm,
+            matmul_precision=eng.matmul_precision,
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+    def estimate_elbo(self, params, key, num_draws: int = 20):
+        """Mean/SE of the full-path ELBO over fresh draws (exact bound — no
+        window subsampling variance)."""
+        vals = []
+        for _ in range(num_draws):
+            key, k1, k2 = jax.random.split(key, 3)
+            theta, theta_lq, prior = self._theta(params, k1)
+            t = self._terms(params, k2, theta)
+            vals.append(float(jnp.mean(t.elbo + prior - theta_lq)))
+        vals = np.asarray(vals)
+        return float(vals.mean()), float(vals.std() / np.sqrt(len(vals)))

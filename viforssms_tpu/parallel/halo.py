@@ -20,19 +20,43 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 
-def halo_exchange_left(x, halo: int, axis_name: str):
+def halo_exchange_left(x, halo: int, axis_name: str, edge=None):
     """Prepend the last ``halo`` steps of the left neighbor's chunk.
 
-    x: (..., L_local) per-device chunk. Device 0 receives zeros (the global
-    left padding — matching the reference's zero-padded feature tables,
-    AR.py:137-140).
+    x: (..., L_local) per-device chunk. Device 0 receives ``edge``
+    (broadcast to ``(..., halo)``) — the global left boundary. ``None``
+    means zeros (matching the reference's zero-padded feature tables,
+    AR.py:137-140); the product sequence engine passes the table's real
+    padding block so the first chunk is conditioned identically to the
+    windowed path (``inference/vi/sequence_train.SequenceVIEngine``).
     """
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
+    L = x.shape[-1]
+    if halo > L:
+        # The halo spans multiple neighbors (tiny chunks — e.g. a long flow
+        # context over a deep mesh): gather the full axis once and slice the
+        # needed window locally. One all-gather instead of ceil(halo/L)
+        # ppermute hops; only taken in the small-chunk regime.
+        full = jax.lax.all_gather(x, axis_name, axis=x.ndim - 1, tiled=True)
+        if edge is None:
+            edge_block = jnp.zeros(x.shape[:-1] + (halo,), x.dtype)
+        else:
+            edge_block = jnp.broadcast_to(
+                jnp.asarray(edge, x.dtype), x.shape[:-1] + (halo,))
+        padded = jnp.concatenate([edge_block, full], axis=-1)
+        # my chunk starts at global position idx*L == padded index idx*L+halo;
+        # left context = padded[idx*L : idx*L + halo]
+        ctx = jax.lax.dynamic_slice_in_dim(padded, idx * L, halo, x.ndim - 1)
+        return jnp.concatenate([ctx, x], axis=-1)
     tail = x[..., -halo:]
     # send my tail to my RIGHT neighbor == receive left neighbor's tail
     recv = jax.lax.ppermute(tail, axis_name, [(i, (i + 1) % n) for i in range(n)])
-    recv = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+    if edge is None:
+        edge_block = jnp.zeros_like(recv)
+    else:
+        edge_block = jnp.broadcast_to(jnp.asarray(edge, x.dtype), recv.shape)
+    recv = jnp.where(idx == 0, edge_block, recv)
     return jnp.concatenate([recv, x], axis=-1)
 
 
