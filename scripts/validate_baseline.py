@@ -191,7 +191,7 @@ def validate_ar1(fast=False):
     t0 = time.time()
     res = pmmh_chains(jax.random.key(8), log_ev, log_prior, theta0s, n_mh,
                       warmup=warm, proposal_scales=jnp.asarray([0.1, 0.01, 0.02]),
-                      init_scale=1.0)
+                      init_scale=1.0, dispatch_chunk=500)
     chains = np.asarray(res.thetas)[:, warm:, :]          # (C, n, 3)
     gold = np.transpose(chains, (1, 0, 2))                # (n, C, 3)
     print(f"ar1 exact-MH: {C}x{n_mh} steps in {time.time()-t0:.0f}s, "
@@ -264,7 +264,7 @@ def validate_lv_partial(fast=False):
     t0 = time.time()
     samples, diag = nuts_sample(logp, init, jax.random.key(21), num_samples=n_s,
                                 num_warmup=n_w, step_size=0.02, max_depth=9,
-                                adapt_mass=True)
+                                adapt_mass=True, dispatch_chunk=200)
     print(f"lv-partial path NUTS: {C}x{n_s} in {time.time()-t0:.0f}s, "
           f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}", flush=True)
     gold_u = np.asarray(samples)                          # (n, C, 2T)
@@ -368,7 +368,7 @@ def _lv_loose_pmmh(fast=False):
     res = pmmh_chains(jax.random.key(33), log_ev, log_prior, theta0s, n_mh,
                       warmup=warm,
                       proposal_scales=jnp.asarray([0.05, 0.05, 0.05]),
-                      init_scale=1.0)
+                      init_scale=1.0, dispatch_chunk=100)
     print(f"lv-loose PMMH: {C}x{n_mh} in {time.time()-t0:.0f}s, "
           f"accept={np.asarray(res.accept_rate).mean():.2f}", flush=True)
     gold = np.transpose(np.asarray(res.thetas)[:, warm:, :], (1, 0, 2))
@@ -430,7 +430,7 @@ def validate_sv(fast=False):
     samples, diag = nuts_sample(log_joint, jnp.asarray(init),
                                 jax.random.key(43), num_samples=n_s,
                                 num_warmup=n_w, step_size=0.01, max_depth=9,
-                                adapt_mass=True)
+                                adapt_mass=True, dispatch_chunk=100)
     print(f"sv joint NUTS: {C}x{n_s} in {time.time()-t0:.0f}s, "
           f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}", flush=True)
     gold = np.asarray(samples)                    # (n, C, 4+T)
@@ -491,7 +491,7 @@ def validate_fhn(fast=False, T_units=200.0, steps=60_000):
     samples, diag = nuts_sample(log_joint, jnp.asarray(init),
                                 jax.random.key(51), num_samples=n_s,
                                 num_warmup=n_w, step_size=0.01, max_depth=9,
-                                adapt_mass=True)
+                                adapt_mass=True, dispatch_chunk=100)
     print(f"fhn joint NUTS: {C}x{n_s} in {time.time()-t0:.0f}s, "
           f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}", flush=True)
     gold = np.asarray(samples)
@@ -623,7 +623,7 @@ def validate_lv_learn_theta(fast=False):
         res = pmmh_chains(jax.random.key(80 + si), log_ev, log_prior_u,
                           theta0s, n_mh, warmup=warm,
                           proposal_scales=jnp.asarray([0.1, 0.1, 0.1]),
-                          init_scale=1.0)
+                          init_scale=1.0, dispatch_chunk=250)
         gold_u = np.transpose(np.asarray(res.thetas)[:, warm:, :], (1, 0, 2))
         gold_rates = np.log1p(np.exp(gold_u))       # softplus
         per_series.append({
@@ -662,7 +662,7 @@ def validate_lv_learn_theta(fast=False):
     res = pmmh_chains(jax.random.key(91), log_ev_mean, log_prior_u, theta0s,
                       n_mh2, warmup=warm2,
                       proposal_scales=jnp.asarray([0.15, 0.15, 0.15]),
-                      init_scale=1.0)
+                      init_scale=1.0, dispatch_chunk=100)
     print(f"learn-theta tempered MH: {C}x{n_mh2} in {time.time()-t0:.0f}s, "
           f"accept={np.asarray(res.accept_rate).mean():.2f}", flush=True)
     gold_u = np.transpose(np.asarray(res.thetas)[:, warm2:, :], (1, 0, 2))

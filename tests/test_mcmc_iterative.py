@@ -46,3 +46,26 @@ def test_nuts_alias_points_at_single_sampler():
 
     assert mcmc.nuts_sample_iterative is mcmc.nuts_sample
     assert viforssms_tpu.nuts_sample_iterative is mcmc.nuts_sample
+
+
+def test_nuts_dispatch_chunking_is_exact():
+    """dispatch_chunk splits warmup/sampling scans across host dispatches
+    with exact state carry — draws must be bitwise the unchunked draws."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from viforssms_tpu.inference.mcmc.nuts import nuts_sample
+
+    def logp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    init = jax.random.normal(jax.random.key(0), (3, 4))
+    a, da = nuts_sample(logp, init, jax.random.key(1), num_samples=60,
+                        num_warmup=40, step_size=0.4, max_depth=5,
+                        adapt_mass=True)
+    b, db = nuts_sample(logp, init, jax.random.key(1), num_samples=60,
+                        num_warmup=40, step_size=0.4, max_depth=5,
+                        adapt_mass=True, dispatch_chunk=16)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(float(da["step_size"]), float(db["step_size"]))

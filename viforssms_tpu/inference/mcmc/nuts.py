@@ -70,6 +70,7 @@ def nuts_sample(
     target_accept: float = 0.8,
     adapt_mass: bool = False,
     dense_mass: bool = False,
+    dispatch_chunk: int = 0,
 ):
     grad_fn = jax.grad(log_prob_fn)
     dim = init_q.shape[-1]
@@ -196,10 +197,21 @@ def nuts_sample(
         w_init = lambda: welford_init(dim)
         w_update = welford_update_batch
 
-    def warmup_phase(key, q, da, inv_mass, num_steps, collect_from):
-        def step(carry, inp):
+    def _chunks(n):
+        """Split n scan steps into dispatch_chunk-bounded segments. On
+        remote/tunneled accelerators a single multi-minute execution gets
+        killed by the worker watchdog; chunking carries the exact scan state
+        across host dispatches, so the chain is bitwise the one-dispatch
+        chain (same contract as pmmh's dispatch_chunk)."""
+        if dispatch_chunk <= 0 or dispatch_chunk >= n:
+            return [(0, n)]
+        return [(s, min(s + dispatch_chunk, n)) for s in range(0, n, dispatch_chunk)]
+
+    @jax.jit
+    def _warm_seg(carry, inv_mass, collect_from, ts, keys):
+        def step(c, inp):
             t, key = inp
-            q, da, w = carry
+            q, da, w = c
             q, acc = v_transition(q, jax.random.split(key, n_chains),
                                   jnp.exp(da.log_step), inv_mass)
             da = da_update(da, jnp.mean(acc), target=target_accept)
@@ -208,10 +220,19 @@ def nuts_sample(
                 lambda a, b: jnp.where(t >= collect_from, a, b), w_new, w)
             return (q, da, w), jnp.mean(acc)
 
+        return jax.lax.scan(step, carry, (ts, keys))
+
+    def warmup_phase(key, q, da, inv_mass, num_steps, collect_from):
         keys = jax.random.split(key, num_steps)
-        (q, da, w), acc = jax.lax.scan(
-            step, (q, da, w_init()), (jnp.arange(num_steps), keys))
-        return q, da, w, acc
+        carry = (q, da, w_init())
+        accs = []
+        for s, e in _chunks(num_steps):
+            carry, acc = _warm_seg(carry, inv_mass,
+                                   jnp.asarray(collect_from),
+                                   jnp.arange(s, e), keys[s:e])
+            accs.append(acc)
+        q, da, w = carry
+        return q, da, w, jnp.concatenate(accs)
 
     k_warm, k_warm2, k_samp = jax.random.split(key, 3)
     inv_mass = jnp.ones((dim,), init_q.dtype)
@@ -234,13 +255,24 @@ def nuts_sample(
 
     eps = jnp.exp(da.log_step_avg)
 
-    def sample_step(carry, key):
-        q, eps = carry
-        q, acc = v_transition(q, jax.random.split(key, n_chains), eps, inv_mass)
-        return (q, eps), (q, jnp.mean(acc))
+    @jax.jit
+    def _samp_seg(carry, inv_mass, keys):
+        def sample_step(c, key):
+            q, eps = c
+            q, acc = v_transition(q, jax.random.split(key, n_chains), eps,
+                                  inv_mass)
+            return (q, eps), (q, jnp.mean(acc))
 
-    (_, _), (samples, acc) = jax.lax.scan(
-        sample_step, (q, eps), jax.random.split(k_samp, num_samples)
-    )
+        return jax.lax.scan(sample_step, carry, keys)
+
+    keys_s = jax.random.split(k_samp, num_samples)
+    carry = (q, eps)
+    samples_parts, acc_parts = [], []
+    for s, e in _chunks(num_samples):
+        carry, (smp, acc) = _samp_seg(carry, inv_mass, keys_s[s:e])
+        samples_parts.append(smp)
+        acc_parts.append(acc)
+    samples = jnp.concatenate(samples_parts)
+    acc = jnp.concatenate(acc_parts)
     return samples, {"step_size": eps, "warmup_accept": warm_acc, "accept": acc,
                      "inv_mass": inv_mass}

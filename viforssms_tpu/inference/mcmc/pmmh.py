@@ -8,26 +8,32 @@ the unbiased bootstrap-SMC evidence estimate — the pseudo-marginal property
 makes the chain exact despite the noisy likelihood, so it validates the VI
 theta posterior directly, without flow or joint-path approximations.
 
-TPU shape: the whole chain is ONE ``lax.scan`` (the SMC filter is itself a
-scan nested inside), compiled once; independent chains vmap over a leading
-axis and shard across the mesh like every other sampler here
-(``parallel/mesh.py``). Proposal step size adapts toward the 0.234
-random-walk optimum during warmup by Robbins–Monro on the acceptance
-probability, frozen afterwards (adaptation during sampling would break
-detailed balance).
+TPU shape: the chain is a ``lax.scan`` (the SMC filter is itself a scan
+nested inside), compiled once; independent chains vmap over a leading axis
+and shard across the mesh like every other sampler here (``parallel/mesh.py``).
+``dispatch_chunk`` splits the scan into several device dispatches while
+carrying the FULL pseudo-marginal state (current theta, RETAINED evidence
+estimate, adapted proposal scale, PRNG key) across chunk boundaries — the
+chain is bitwise the single-dispatch chain. This matters on remote/tunneled
+accelerators whose workers kill executions that run for many minutes (one
+16k-step chain with a nested T=5000 filter is such an execution).
+
+Proposal step size adapts toward the 0.234 random-walk optimum during warmup
+by Robbins–Monro on the acceptance probability, frozen afterwards (adaptation
+during sampling would break detailed balance).
 
 Pinned in tests/test_pmmh.py against an "ideal MH" chain that swaps the SMC
 estimate for the exact Kalman evidence on AR(1): the two posteriors must
-agree in their moments.
+agree in their moments; chunked and single-dispatch runs must agree exactly.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class PMMHResult(NamedTuple):
@@ -38,37 +44,13 @@ class PMMHResult(NamedTuple):
     step_scale: jax.Array    # final adapted global proposal scale
 
 
-@partial(jax.jit, static_argnames=("log_evidence_fn", "log_prior_fn",
-                                   "num_steps", "warmup"))
-def pmmh(
-    key,
-    log_evidence_fn: Callable,   # (key, theta) -> scalar log p_hat(y | theta)
-    log_prior_fn: Callable,      # (theta,) -> scalar log p(theta)
-    theta0,
-    num_steps: int,
-    warmup: int = 0,
-    init_scale: float = 0.1,
-    proposal_scales: Optional[jax.Array] = None,  # (D,) per-coordinate scales
-    target_accept: float = 0.234,
-) -> PMMHResult:
-    """Run one PMMH chain of ``num_steps`` from ``theta0``.
+def _pmmh_segment(carry, idxs, scales, log_evidence_fn, log_prior_fn,
+                  warmup, target_accept):
+    """Scan ``len(idxs)`` MH steps from ``carry`` = (theta, lp, log_s, key);
+    ``idxs`` are GLOBAL step indices (Robbins–Monro gain continuity)."""
 
-    The current state's evidence estimate is RETAINED across iterations (never
-    refreshed) — required for the pseudo-marginal chain to target the exact
-    posterior. ``proposal_scales`` shapes the random walk per coordinate; the
-    global multiplier ``exp(s)`` starts at ``init_scale`` and adapts during
-    the first ``warmup`` steps only.
-    """
-    theta0 = jnp.asarray(theta0)
-    d = theta0.shape[0]
-    scales = (jnp.ones(d, theta0.dtype) if proposal_scales is None
-              else jnp.asarray(proposal_scales, theta0.dtype))
-
-    key, k0 = jax.random.split(key)
-    lp0 = log_evidence_fn(k0, theta0) + log_prior_fn(theta0)
-
-    def step(carry, i):
-        theta, lp, log_s, k = carry
+    def step(c, i):
+        theta, lp, log_s, k = c
         k, k_prop, k_ev, k_acc = jax.random.split(k, 4)
         prop = theta + jnp.exp(log_s) * scales * jax.random.normal(
             k_prop, theta.shape, theta.dtype
@@ -93,17 +75,111 @@ def pmmh(
         log_s = log_s + gain * (p_acc - target_accept)
         return (theta, lp, log_s, k), (theta, lp, accept)
 
-    init = (theta0, lp0, jnp.log(jnp.asarray(init_scale, theta0.dtype)), key)
-    (theta, lp, log_s, _), (thetas, lps, accepts) = jax.lax.scan(
-        step, init, jnp.arange(num_steps)
-    )
-    post = accepts[warmup:].astype(jnp.float32)
+    return jax.lax.scan(step, carry, idxs)
+
+
+def _chunk_bounds(num_steps: int, chunk: int):
+    if chunk <= 0 or chunk >= num_steps:
+        return [(0, num_steps)]
+    bounds = [(s, min(s + chunk, num_steps)) for s in range(0, num_steps, chunk)]
+    return bounds
+
+
+def pmmh(
+    key,
+    log_evidence_fn: Callable,   # (key, theta) -> scalar log p_hat(y | theta)
+    log_prior_fn: Callable,      # (theta,) -> scalar log p(theta)
+    theta0,
+    num_steps: int,
+    warmup: int = 0,
+    init_scale: float = 0.1,
+    proposal_scales: Optional[jax.Array] = None,  # (D,) per-coordinate scales
+    target_accept: float = 0.234,
+    dispatch_chunk: int = 0,
+) -> PMMHResult:
+    """Run one PMMH chain of ``num_steps`` from ``theta0``.
+
+    The current state's evidence estimate is RETAINED across iterations (never
+    refreshed) — required for the pseudo-marginal chain to target the exact
+    posterior; the retained estimate also carries across ``dispatch_chunk``
+    boundaries. ``proposal_scales`` shapes the random walk per coordinate; the
+    global multiplier ``exp(s)`` starts at ``init_scale`` and adapts during
+    the first ``warmup`` steps only.
+    """
+    theta0 = jnp.asarray(theta0)
+    d = theta0.shape[0]
+    scales = (jnp.ones(d, theta0.dtype) if proposal_scales is None
+              else jnp.asarray(proposal_scales, theta0.dtype))
+
+    key, k0 = jax.random.split(key)
+    lp0 = log_evidence_fn(k0, theta0) + log_prior_fn(theta0)
+
+    @jax.jit
+    def seg(carry, idxs):
+        return _pmmh_segment(carry, idxs, scales, log_evidence_fn,
+                             log_prior_fn, warmup, target_accept)
+
+    carry = (theta0, lp0, jnp.log(jnp.asarray(init_scale, theta0.dtype)), key)
+    outs = []
+    for s, e in _chunk_bounds(num_steps, dispatch_chunk):
+        carry, out = seg(carry, jnp.arange(s, e))
+        outs.append(jax.tree.map(np.asarray, out))
+    thetas, lps, accepts = (np.concatenate([o[i] for o in outs]) for i in range(3))
+    post = accepts[warmup:].astype(np.float32)
     return PMMHResult(
         thetas=thetas,
         log_posts=lps,
         accepts=accepts,
-        accept_rate=jnp.mean(post) if num_steps > warmup else jnp.zeros(()),
-        step_scale=jnp.exp(log_s),
+        accept_rate=jnp.asarray(post.mean() if num_steps > warmup else 0.0),
+        step_scale=jnp.exp(carry[2]),
+    )
+
+
+def pmmh_chains(key, log_evidence_fn, log_prior_fn, theta0s, num_steps: int,
+                warmup: int = 0, init_scale: float = 0.1,
+                proposal_scales=None, target_accept: float = 0.234,
+                dispatch_chunk: int = 0) -> PMMHResult:
+    """Independent PMMH chains vmapped over a leading chain axis.
+
+    ``theta0s``: (C, D) initial states. Returns a PMMHResult whose fields all
+    carry the leading chain axis; feed ``thetas`` (post-warmup, pooled) to
+    ``mcmc.diagnostics`` for split R-hat / ESS like the other samplers.
+    ``dispatch_chunk`` bounds the per-dispatch scan length (see module
+    docstring); all chains advance together chunk by chunk."""
+    theta0s = jnp.asarray(theta0s)
+    C, d = theta0s.shape
+    scales = (jnp.ones(d, theta0s.dtype) if proposal_scales is None
+              else jnp.asarray(proposal_scales, theta0s.dtype))
+    keys = jax.random.split(key, C)
+    k0s = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+    keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+    lp0 = jax.vmap(lambda k, t: log_evidence_fn(k, t) + log_prior_fn(t))(
+        k0s, theta0s)
+    log_s0 = jnp.full((C,), jnp.log(jnp.asarray(init_scale, theta0s.dtype)))
+
+    @jax.jit
+    def seg(carry, idxs):
+        return jax.vmap(
+            lambda c: _pmmh_segment(c, idxs, scales, log_evidence_fn,
+                                    log_prior_fn, warmup, target_accept)
+        )(carry)
+
+    carry = (theta0s, lp0, log_s0, keys)
+    outs = []
+    for s, e in _chunk_bounds(num_steps, dispatch_chunk):
+        carry, out = seg(carry, jnp.arange(s, e))
+        outs.append(jax.tree.map(np.asarray, out))
+    # per-chunk outputs are (C, chunk, ...) — concatenate on the step axis
+    thetas, lps, accepts = (
+        np.concatenate([o[i] for o in outs], axis=1) for i in range(3))
+    post = accepts[:, warmup:].astype(np.float32)
+    return PMMHResult(
+        thetas=thetas,
+        log_posts=lps,
+        accepts=accepts,
+        accept_rate=jnp.asarray(
+            post.mean(axis=1) if num_steps > warmup else np.zeros(C, np.float32)),
+        step_scale=jnp.exp(carry[2]),
     )
 
 
@@ -127,17 +203,3 @@ def pmmh_for_model(model, obs, obs_bin, x0, theta0, key, num_steps: int,
 
     return pmmh(key, log_ev, log_prior, jnp.asarray(theta0), num_steps,
                 warmup=warmup, **kwargs)
-
-
-def pmmh_chains(key, log_evidence_fn, log_prior_fn, theta0s, num_steps: int,
-                **kwargs) -> PMMHResult:
-    """Independent PMMH chains vmapped over a leading chain axis.
-
-    ``theta0s``: (C, D) initial states. Returns a PMMHResult whose fields all
-    carry the leading chain axis; feed ``thetas`` (post-warmup, pooled) to
-    ``mcmc.diagnostics`` for split R-hat / ESS like the other samplers."""
-    theta0s = jnp.asarray(theta0s)
-    keys = jax.random.split(key, theta0s.shape[0])
-    run = lambda k, t0: pmmh(k, log_evidence_fn, log_prior_fn, t0,
-                             num_steps, **kwargs)
-    return jax.vmap(run)(keys, theta0s)
