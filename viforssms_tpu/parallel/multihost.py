@@ -70,6 +70,25 @@ def replicate_global(mesh: Mesh, tree):
     return jax.tree.map(one, tree)
 
 
+def replicate_state(mesh: Mesh, tree):
+    """:func:`replicate_global` for pytrees that contain TYPED PRNG keys
+    (``jax.random.key``): key arrays are converted to their uint32 key data,
+    replicated, and re-wrapped with the same impl — so a whole
+    ``VIEngine``/``SequenceVIEngine`` TrainState globalizes in one call."""
+    def one(a):
+        try:
+            is_key = jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key)
+        except Exception:
+            is_key = False
+        if is_key:
+            impl = jax.random.key_impl(a)
+            data = replicate_global(mesh, jax.random.key_data(a))
+            return jax.random.wrap_key_data(data, impl=impl)
+        return replicate_global(mesh, a)
+
+    return jax.tree.map(one, tree)
+
+
 def all_processes_equal(value: float, tol: float = 0.0) -> bool:
     """Check a host scalar agrees across processes (via a global psum)."""
     import jax.numpy as jnp
