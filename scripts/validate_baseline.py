@@ -65,7 +65,16 @@ def _train_or_restore(eng, cfg_dir, pretrain=None, finite_gate=None,
     if restored is not None and int(restored.step) > 0:
         print(f"[{cfg_dir}] restored VI state at step {int(restored.step)}",
               flush=True)
-        return restored
+        deficit = 0 if epochs is not None else num_steps - int(restored.step)
+        if deficit <= 0:
+            return restored
+        # the checkpoint is from a shorter schedule: continue the fit
+        print(f"[{cfg_dir}] extending fit by {deficit} steps", flush=True)
+        t0 = time.time()
+        state, _ = eng.fit(restored, num_steps=deficit, scan_chunk=250)
+        print(f"[{cfg_dir}] extended in {time.time() - t0:.0f}s", flush=True)
+        ckpt.save(state)
+        return state
     t0 = time.time()
     if epochs is not None:
         state, _ = eng.fit_epochs(state, num_epochs=epochs,
@@ -382,7 +391,7 @@ def _lv_loose_pmmh(fast=False):
 # SV: joint NUTS over [theta(4), latent log-vol path]
 # ---------------------------------------------------------------------------
 
-def validate_sv(fast=False):
+def validate_sv(fast=False, steps=None):
     import jax
     import jax.numpy as jnp
 
@@ -390,7 +399,7 @@ def validate_sv(fast=False):
     from viforssms_tpu.inference.mcmc.nuts import nuts_sample
 
     eng, info = build_sv_dense(sv_file=os.path.join(_dat_dir(), "SV.dat"))
-    steps = 2_000 if fast else 20_000
+    steps = steps or (2_000 if fast else 20_000)
     state = _train_or_restore(eng, os.path.join(VAL_DIR, "sv"),
                               pretrain=200 if fast else 1000, num_steps=steps)
 
@@ -606,9 +615,15 @@ def validate_lv_learn_theta(fast=False):
                        - jnp.log(prior_sigma_u) - 0.5 * jnp.log(2 * jnp.pi))
 
     # --- (a) per-series PMMH: exact single-series posteriors ---
+    # Chains start at the VI posterior (u-space): the PRIOR region (rates
+    # ~0.85/0.69/0.85) predicts population collapse and has likelihood
+    # ~e^{-1e6}, where the SMC evidence is pure astronomical noise and a
+    # pseudo-marginal chain freezes (measured: accept=0.0). Near the
+    # posterior the estimator noise is ~0.25 log units at 512 particles.
     C = 2
     n_mh = 1_000 if fast else 5_000
     warm = 400 if fast else 1_500
+    u_vi = sp.inverse(jnp.asarray(np.median(vi_theta, axis=0)))
     per_series = []
     for si in range(2 if fast else 4):
         ys = jnp.asarray(obs[:, si, :].T)           # (target, 2)
@@ -617,7 +632,7 @@ def validate_lv_learn_theta(fast=False):
         def log_ev(key, u):
             return series_evidence(key, u, ys, mask)
 
-        theta0s = prior_mean_u[None, :] + 0.1 * jax.random.normal(
+        theta0s = u_vi[None, :] + 0.05 * jax.random.normal(
             jax.random.key(70 + si), (C, 3))
         t0 = time.time()
         res = pmmh_chains(jax.random.key(80 + si), log_ev, log_prior_u,
@@ -656,7 +671,7 @@ def validate_lv_learn_theta(fast=False):
 
     n_mh2 = 800 if fast else 4_000
     warm2 = 300 if fast else 1_200
-    theta0s = prior_mean_u[None, :] + 0.1 * jax.random.normal(
+    theta0s = u_vi[None, :] + 0.05 * jax.random.normal(
         jax.random.key(90), (C, 3))
     t0 = time.time()
     res = pmmh_chains(jax.random.key(91), log_ev_mean, log_prior_u, theta0s,
@@ -796,6 +811,9 @@ def main(argv=None):
     ap.add_argument("config", choices=list(RUNNERS) + ["all", "report"])
     ap.add_argument("--fast", action="store_true",
                     help="CI-scale smoke (small T / few steps)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override the VI fit length (configs that accept it; "
+                         "a shorter existing checkpoint is extended)")
     args = ap.parse_args(argv)
 
     from viforssms_tpu.core.platform import apply_platform_env
@@ -807,7 +825,10 @@ def main(argv=None):
     targets = list(RUNNERS) if args.config == "all" else [args.config]
     for t in targets:
         print(f"=== validating {t} ===", flush=True)
-        RUNNERS[t](fast=args.fast)
+        kw = {"fast": args.fast}
+        if args.steps and t == "sv":
+            kw["steps"] = args.steps
+        RUNNERS[t](**kw)
     write_report()
 
 
