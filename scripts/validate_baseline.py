@@ -826,7 +826,7 @@ def main(argv=None):
     for t in targets:
         print(f"=== validating {t} ===", flush=True)
         kw = {"fast": args.fast}
-        if args.steps and t == "sv":
+        if args.steps and t in ("sv", "fhn"):
             kw["steps"] = args.steps
         RUNNERS[t](**kw)
     write_report()

@@ -104,6 +104,8 @@ def test_ar_mesh_invariance():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow  # ~7 min on a 2-core CPU host: compiles four scanned
+# sequence-mesh programs (pretrain chunk, fit chunk, eval, paths)
 def test_fit_improves_and_paths_finite():
     eng = _lv_engine(make_mesh((2, 2), ("particles", "sequence")))
     state = eng.init(jax.random.key(3))
