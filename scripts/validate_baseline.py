@@ -88,6 +88,21 @@ def _train_or_restore(eng, cfg_dir, pretrain=None, finite_gate=None,
     return state
 
 
+def _gold_cache(cfg_dir, name, compute):
+    """Gold-standard draws are independent of the VI state: cache them under
+    ``cfg_dir`` so extending the VI fit re-runs only the cheap comparison.
+    ``compute() -> dict[str, np.ndarray]``; cached as one .npz."""
+    path = os.path.join(cfg_dir, f"gold_{name}.npz")
+    if os.path.exists(path):
+        print(f"[{cfg_dir}] reusing cached gold draws: {name}", flush=True)
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    out = {k: np.asarray(v) for k, v in compute().items()}
+    os.makedirs(cfg_dir, exist_ok=True)
+    np.savez_compressed(path, **out)
+    return out
+
+
 def _chain_diag(draws_ncd):
     """(num_samples, num_chains, d) -> dict of rhat/ess arrays."""
     from viforssms_tpu.inference.mcmc.diagnostics import ess, split_rhat
@@ -177,7 +192,7 @@ def validate_ar1(fast=False):
         params["T"] = 400
     eng, series = build_ar1(params, seed=1)
     x0, obs_std = params["x0"], params["obs_std"]
-    steps = 2_000 if fast else 20_000
+    steps = 2_000 if fast else 200_000
     state = _train_or_restore(eng, os.path.join(VAL_DIR, "ar1"),
                               pretrain=100 if fast else 500, num_steps=steps)
 
@@ -197,14 +212,18 @@ def validate_ar1(fast=False):
     truth = (params["theta"][0], params["theta"][1], float(np.log(params["theta"][2])))
     theta0s = jnp.asarray(truth)[None, :] + 0.2 * jax.random.normal(
         jax.random.key(7), (C, 3))
-    t0 = time.time()
-    res = pmmh_chains(jax.random.key(8), log_ev, log_prior, theta0s, n_mh,
-                      warmup=warm, proposal_scales=jnp.asarray([0.1, 0.01, 0.02]),
-                      init_scale=1.0, dispatch_chunk=500)
-    chains = np.asarray(res.thetas)[:, warm:, :]          # (C, n, 3)
-    gold = np.transpose(chains, (1, 0, 2))                # (n, C, 3)
-    print(f"ar1 exact-MH: {C}x{n_mh} steps in {time.time()-t0:.0f}s, "
-          f"accept={np.asarray(res.accept_rate).mean():.2f}", flush=True)
+    def _mh_gold():
+        t0 = time.time()
+        res = pmmh_chains(jax.random.key(8), log_ev, log_prior, theta0s, n_mh,
+                          warmup=warm,
+                          proposal_scales=jnp.asarray([0.1, 0.01, 0.02]),
+                          init_scale=1.0, dispatch_chunk=500)
+        chains = np.asarray(res.thetas)[:, warm:, :]      # (C, n, 3)
+        print(f"ar1 exact-MH: {C}x{n_mh} steps in {time.time()-t0:.0f}s, "
+              f"accept={np.asarray(res.accept_rate).mean():.2f}", flush=True)
+        return {"gold": np.transpose(chains, (1, 0, 2))}  # (n, C, 3)
+
+    gold = _gold_cache(os.path.join(VAL_DIR, "ar1"), "mh", _mh_gold)["gold"]
 
     vi_theta = eng.sample_theta(state.params, jax.random.key(11), 20_000)
     theta = _theta_block(vi_theta, gold, ("theta0", "theta1", "log_sigma"))
@@ -218,8 +237,11 @@ def validate_ar1(fast=False):
     def one(th, k):
         return ffbs_ar1(k, obs, obs_bin, (th[0], th[1], th[2]), x0, obs_std, 1)[0]
 
-    gold_paths = np.asarray(jax.vmap(one)(
-        thetas_thin, jax.random.split(jax.random.key(12), n_path)))
+    gold_paths = _gold_cache(
+        os.path.join(VAL_DIR, "ar1"), "ffbs",
+        lambda: {"paths": np.asarray(jax.vmap(one)(
+            thetas_thin, jax.random.split(jax.random.key(12), n_path)))},
+    )["paths"]
     vi_paths = _vi_paths_batched(eng, state.params, jax.random.key(13),
                                  2 if fast else 8)
     paths = _path_block(vi_paths, gold_paths)
@@ -247,7 +269,7 @@ def validate_lv_partial(fast=False):
     from viforssms_tpu.inference.validate import ssm2d_path_log_posterior
 
     eng, info = build_lv_partial(dat_dir=_dat_dir())
-    steps = 2_000 if fast else 30_000
+    steps = 2_000 if fast else 120_000
     state = _train_or_restore(eng, os.path.join(VAL_DIR, "lv_partial"),
                               finite_gate=200 if fast else 1000, num_steps=steps)
 
@@ -270,13 +292,19 @@ def validate_lv_partial(fast=False):
         jax.random.key(20), (C, 2 * T))
     n_s = 300 if fast else 1_200
     n_w = 300 if fast else 800
-    t0 = time.time()
-    samples, diag = nuts_sample(logp, init, jax.random.key(21), num_samples=n_s,
-                                num_warmup=n_w, step_size=0.02, max_depth=9,
-                                adapt_mass=True, dispatch_chunk=200)
-    print(f"lv-partial path NUTS: {C}x{n_s} in {time.time()-t0:.0f}s, "
-          f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}", flush=True)
-    gold_u = np.asarray(samples)                          # (n, C, 2T)
+    def _nuts_gold():
+        t0 = time.time()
+        samples, diag = nuts_sample(logp, init, jax.random.key(21),
+                                    num_samples=n_s, num_warmup=n_w,
+                                    step_size=0.02, max_depth=9,
+                                    adapt_mass=True, dispatch_chunk=200)
+        print(f"lv-partial path NUTS: {C}x{n_s} in {time.time()-t0:.0f}s, "
+              f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}",
+              flush=True)
+        return {"u": np.asarray(samples)}
+
+    gold_u = _gold_cache(os.path.join(VAL_DIR, "lv_partial"), "path_nuts",
+                         _nuts_gold)["u"]                 # (n, C, 2T)
     gold_paths = np.asarray(sp.forward(jnp.asarray(gold_u)))
     vi_paths = _vi_paths_batched(eng, state.params, jax.random.key(22),
                                  2 if fast else 8)        # (S, 2, T)
@@ -341,7 +369,7 @@ def _lv_loose_pmmh(fast=False):
     model = LotkaVolterra(dt=dt, prior_mean=tuple(np.log(truth)),
                           prior_scale=(0.3,) * 3, jitter=1e-3)
     eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True)
-    steps = 2_000 if fast else 20_000
+    steps = 2_000 if fast else 60_000
     state = _train_or_restore(eng, os.path.join(VAL_DIR, "lv_loose"),
                               finite_gate=200 if fast else 1000, num_steps=steps)
     vi_theta = eng.sample_theta(state.params, jax.random.key(31), 20_000)
@@ -373,14 +401,19 @@ def _lv_loose_pmmh(fast=False):
     warm = 500 if fast else 2_000
     theta0s = jnp.asarray(np.log(truth))[None, :] + 0.1 * jax.random.normal(
         jax.random.key(32), (C, 3))
-    t0 = time.time()
-    res = pmmh_chains(jax.random.key(33), log_ev, log_prior, theta0s, n_mh,
-                      warmup=warm,
-                      proposal_scales=jnp.asarray([0.05, 0.05, 0.05]),
-                      init_scale=1.0, dispatch_chunk=100)
-    print(f"lv-loose PMMH: {C}x{n_mh} in {time.time()-t0:.0f}s, "
-          f"accept={np.asarray(res.accept_rate).mean():.2f}", flush=True)
-    gold = np.transpose(np.asarray(res.thetas)[:, warm:, :], (1, 0, 2))
+    def _pmmh_gold():
+        t0 = time.time()
+        res = pmmh_chains(jax.random.key(33), log_ev, log_prior, theta0s, n_mh,
+                          warmup=warm,
+                          proposal_scales=jnp.asarray([0.05, 0.05, 0.05]),
+                          init_scale=1.0, dispatch_chunk=100)
+        print(f"lv-loose PMMH: {C}x{n_mh} in {time.time()-t0:.0f}s, "
+              f"accept={np.asarray(res.accept_rate).mean():.2f}", flush=True)
+        return {"gold": np.transpose(np.asarray(res.thetas)[:, warm:, :],
+                                     (1, 0, 2))}
+
+    gold = _gold_cache(os.path.join(VAL_DIR, "lv_loose"), "pmmh",
+                       _pmmh_gold)["gold"]
     block = _theta_block(vi_theta, gold, ("log_r1", "log_r2", "log_r3"))
     block["truth_log_rates"] = np.log(truth).tolist()
     block["vi_steps"] = steps
@@ -399,7 +432,7 @@ def validate_sv(fast=False, steps=None):
     from viforssms_tpu.inference.mcmc.nuts import nuts_sample
 
     eng, info = build_sv_dense(sv_file=os.path.join(_dat_dir(), "SV.dat"))
-    steps = steps or (2_000 if fast else 20_000)
+    steps = steps or (2_000 if fast else 100_000)
     state = _train_or_restore(eng, os.path.join(VAL_DIR, "sv"),
                               pretrain=200 if fast else 1000, num_steps=steps)
 
@@ -435,14 +468,19 @@ def validate_sv(fast=False, steps=None):
             init[c, 4:] = model.pretrain_target + 0.2 * rng.normal(size=T)
     n_s = 300 if fast else 1_500
     n_w = 300 if fast else 1_000
-    t0 = time.time()
-    samples, diag = nuts_sample(log_joint, jnp.asarray(init),
-                                jax.random.key(43), num_samples=n_s,
-                                num_warmup=n_w, step_size=0.01, max_depth=9,
-                                adapt_mass=True, dispatch_chunk=100)
-    print(f"sv joint NUTS: {C}x{n_s} in {time.time()-t0:.0f}s, "
-          f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}", flush=True)
-    gold = np.asarray(samples)                    # (n, C, 4+T)
+    def _nuts_gold():
+        t0 = time.time()
+        samples, diag = nuts_sample(log_joint, jnp.asarray(init),
+                                    jax.random.key(43), num_samples=n_s,
+                                    num_warmup=n_w, step_size=0.01, max_depth=9,
+                                    adapt_mass=True, dispatch_chunk=100)
+        print(f"sv joint NUTS: {C}x{n_s} in {time.time()-t0:.0f}s, "
+              f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}",
+              flush=True)
+        return {"gold": np.asarray(samples)}
+
+    gold = _gold_cache(os.path.join(VAL_DIR, "sv"), "joint_nuts",
+                       _nuts_gold)["gold"]        # (n, C, 4+T)
     theta = _theta_block(vi_theta, gold[:, :, :4],
                          ("t0_drift", "t1_mean", "t2_rate", "t3_vol"))
     vi_lat = _vi_paths_batched(eng, state.params, jax.random.key(44),
@@ -462,7 +500,7 @@ def validate_sv(fast=False, steps=None):
 # FHN: joint NUTS at a converged (scaled-T) config
 # ---------------------------------------------------------------------------
 
-def validate_fhn(fast=False, T_units=200.0, steps=60_000):
+def validate_fhn(fast=False, T_units=200.0, steps=150_000):
     import jax
     import jax.numpy as jnp
 
@@ -496,14 +534,19 @@ def validate_fhn(fast=False, T_units=200.0, steps=60_000):
     ], axis=1).astype(np.float32)
     n_s = 300 if fast else 1_500
     n_w = 300 if fast else 1_000
-    t0 = time.time()
-    samples, diag = nuts_sample(log_joint, jnp.asarray(init),
-                                jax.random.key(51), num_samples=n_s,
-                                num_warmup=n_w, step_size=0.01, max_depth=9,
-                                adapt_mass=True, dispatch_chunk=100)
-    print(f"fhn joint NUTS: {C}x{n_s} in {time.time()-t0:.0f}s, "
-          f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}", flush=True)
-    gold = np.asarray(samples)
+    def _nuts_gold():
+        t0 = time.time()
+        samples, diag = nuts_sample(log_joint, jnp.asarray(init),
+                                    jax.random.key(51), num_samples=n_s,
+                                    num_warmup=n_w, step_size=0.01, max_depth=9,
+                                    adapt_mass=True, dispatch_chunk=100)
+        print(f"fhn joint NUTS: {C}x{n_s} in {time.time()-t0:.0f}s, "
+              f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}",
+              flush=True)
+        return {"gold": np.asarray(samples)}
+
+    gold = _gold_cache(os.path.join(VAL_DIR, "fhn"), "joint_nuts",
+                       _nuts_gold)["gold"]
     vi_theta = eng.sample_theta(state.params, jax.random.key(52), 20_000)
     theta = _theta_block(vi_theta, gold[:, :, :5],
                          ("log_eps", "alpha", "beta", "log_s1", "log_s2"))
@@ -635,17 +678,25 @@ def validate_lv_learn_theta(fast=False):
         theta0s = u_vi[None, :] + 0.05 * jax.random.normal(
             jax.random.key(70 + si), (C, 3))
         t0 = time.time()
-        res = pmmh_chains(jax.random.key(80 + si), log_ev, log_prior_u,
-                          theta0s, n_mh, warmup=warm,
-                          proposal_scales=jnp.asarray([0.1, 0.1, 0.1]),
-                          init_scale=1.0, dispatch_chunk=250)
-        gold_u = np.transpose(np.asarray(res.thetas)[:, warm:, :], (1, 0, 2))
+
+        def _series_gold():
+            res = pmmh_chains(jax.random.key(80 + si), log_ev, log_prior_u,
+                              theta0s, n_mh, warmup=warm,
+                              proposal_scales=jnp.asarray([0.1, 0.1, 0.1]),
+                              init_scale=1.0, dispatch_chunk=250)
+            return {"u": np.transpose(np.asarray(res.thetas)[:, warm:, :],
+                                      (1, 0, 2)),
+                    "accept": np.asarray(res.accept_rate)}
+
+        g = _gold_cache(os.path.join(VAL_DIR, "lv_learn_theta"),
+                        f"pmmh_s{si}", _series_gold)
+        gold_u = g["u"]
         gold_rates = np.log1p(np.exp(gold_u))       # softplus
         per_series.append({
             "series": si,
             "posterior_rate_mean": gold_rates.reshape(-1, 3).mean(0).tolist(),
             "posterior_rate_sd": gold_rates.reshape(-1, 3).std(0).tolist(),
-            "accept": float(np.asarray(res.accept_rate).mean()),
+            "accept": float(np.asarray(g["accept"]).mean()),
             "diag": _chain_diag(gold_u),
             "wall_s": round(time.time() - t0, 1),
         })
@@ -673,14 +724,19 @@ def validate_lv_learn_theta(fast=False):
     warm2 = 300 if fast else 1_200
     theta0s = u_vi[None, :] + 0.05 * jax.random.normal(
         jax.random.key(90), (C, 3))
-    t0 = time.time()
-    res = pmmh_chains(jax.random.key(91), log_ev_mean, log_prior_u, theta0s,
-                      n_mh2, warmup=warm2,
-                      proposal_scales=jnp.asarray([0.15, 0.15, 0.15]),
-                      init_scale=1.0, dispatch_chunk=100)
-    print(f"learn-theta tempered MH: {C}x{n_mh2} in {time.time()-t0:.0f}s, "
-          f"accept={np.asarray(res.accept_rate).mean():.2f}", flush=True)
-    gold_u = np.transpose(np.asarray(res.thetas)[:, warm2:, :], (1, 0, 2))
+    def _tempered_gold():
+        t0 = time.time()
+        res = pmmh_chains(jax.random.key(91), log_ev_mean, log_prior_u,
+                          theta0s, n_mh2, warmup=warm2,
+                          proposal_scales=jnp.asarray([0.15, 0.15, 0.15]),
+                          init_scale=1.0, dispatch_chunk=100)
+        print(f"learn-theta tempered MH: {C}x{n_mh2} in {time.time()-t0:.0f}s, "
+              f"accept={np.asarray(res.accept_rate).mean():.2f}", flush=True)
+        return {"u": np.transpose(np.asarray(res.thetas)[:, warm2:, :],
+                                  (1, 0, 2))}
+
+    gold_u = _gold_cache(os.path.join(VAL_DIR, "lv_learn_theta"), "tempered",
+                         _tempered_gold)["u"]
     gold_rates_ncd = np.log1p(np.exp(gold_u))
     tempered = _theta_block(vi_theta, gold_rates_ncd, ("r1", "r2", "r3"))
     tempered["note"] = (
