@@ -346,9 +346,8 @@ def _lv_loose_pmmh(fast=False):
     from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
     from viforssms_tpu.data.features import lv_tables
     from viforssms_tpu.data.generate import partial_observe_2d, simulate_lv
-    from viforssms_tpu.inference.mcmc.diagnostics import ess, split_rhat
-    from viforssms_tpu.inference.mcmc.pmmh import pmmh_chains
-    from viforssms_tpu.inference.smc import bootstrap_filter
+    from viforssms_tpu.distributions.bijectors import Softplus
+    from viforssms_tpu.inference.mcmc.nuts import nuts_sample
     from viforssms_tpu.inference.vi.train import VIEngine
     from viforssms_tpu.models.lotka_volterra import LotkaVolterra
 
@@ -374,49 +373,50 @@ def _lv_loose_pmmh(fast=False):
                               finite_gate=200 if fast else 1000, num_steps=steps)
     vi_theta = eng.sample_theta(state.params, jax.random.key(31), 20_000)
 
-    # PMMH over log-rates with the model's own EM transition + N(x,1) obs
-    n_part = 512 if fast else 1024
-    obs_T = jnp.asarray(obs.T)
-    mask = jnp.asarray(obs_bin[0])
-    init_particles = jnp.tile(jnp.asarray([x0]), (n_part, 1))
+    # Joint NUTS over [log-rates(3), softplus-space path(2T)]. A bootstrap
+    # PMMH was tried first and froze (accept ~ 0): with obs std 1 on
+    # populations of 20-300 and T=500 the filter's weight degeneracy makes
+    # the 1024-particle evidence estimate far too noisy for a pseudo-marginal
+    # chain. The joint NUTS geometry is the same one that mixes at accept
+    # ~0.8 on the pinned-theta path posterior above and on FHN.
+    from viforssms_tpu.inference.validate import ssm2d_log_joint
 
-    def log_ev(key, log_theta):
-        rates = jnp.exp(log_theta)
-
-        def transition(k, particles):
-            return model.transition_sample(k, particles, rates)
-
-        def obs_lp(y, particles):
-            return -0.5 * jnp.sum((y - particles) ** 2, axis=-1) \
-                - jnp.log(2 * jnp.pi)
-
-        return bootstrap_filter(init_particles, transition, obs_lp, obs_T,
-                                mask, key).log_evidence
-
-    def log_prior(log_theta):
-        return model.log_prior(log_theta[None, :])[0]
-
+    log_joint = ssm2d_log_joint(model, obs, obs_bin, x0,
+                                path_transform=Softplus())
+    sp = Softplus()
+    x_init = np.empty((2, target))
+    for dim in range(2):
+        t_obs = np.where(obs_bin[dim] > 0)[0]
+        x_init[dim] = np.interp(np.arange(target), t_obs, obs[dim][t_obs])
+    u_init = np.asarray(sp.inverse(jnp.asarray(np.maximum(x_init, 0.5))))
     C = 4
-    n_mh = 1_500 if fast else 6_000
-    warm = 500 if fast else 2_000
-    theta0s = jnp.asarray(np.log(truth))[None, :] + 0.1 * jax.random.normal(
-        jax.random.key(32), (C, 3))
-    def _pmmh_gold():
-        t0 = time.time()
-        res = pmmh_chains(jax.random.key(33), log_ev, log_prior, theta0s, n_mh,
-                          warmup=warm,
-                          proposal_scales=jnp.asarray([0.05, 0.05, 0.05]),
-                          init_scale=1.0, dispatch_chunk=100)
-        print(f"lv-loose PMMH: {C}x{n_mh} in {time.time()-t0:.0f}s, "
-              f"accept={np.asarray(res.accept_rate).mean():.2f}", flush=True)
-        return {"gold": np.transpose(np.asarray(res.thetas)[:, warm:, :],
-                                     (1, 0, 2))}
+    rng = np.random.RandomState(3)
+    init = np.concatenate([
+        np.tile(np.log(truth), (C, 1)) + 0.1 * rng.normal(size=(C, 3)),
+        np.tile(u_init.reshape(1, -1), (C, 1))
+        + 0.05 * rng.normal(size=(C, 2 * target)),
+    ], axis=1).astype(np.float32)
+    n_s = 300 if fast else 1_500
+    n_w = 300 if fast else 1_000
 
-    gold = _gold_cache(os.path.join(VAL_DIR, "lv_loose"), "pmmh",
-                       _pmmh_gold)["gold"]
+    def _nuts_gold():
+        t0 = time.time()
+        samples, diag = nuts_sample(log_joint, jnp.asarray(init),
+                                    jax.random.key(33), num_samples=n_s,
+                                    num_warmup=n_w, step_size=0.01,
+                                    max_depth=9, adapt_mass=True,
+                                    dispatch_chunk=100)
+        print(f"lv-loose joint NUTS: {C}x{n_s} in {time.time()-t0:.0f}s, "
+              f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}",
+              flush=True)
+        return {"gold": np.asarray(samples)[:, :, :3]}
+
+    gold = _gold_cache(os.path.join(VAL_DIR, "lv_loose"), "joint_nuts",
+                       _nuts_gold)["gold"]
     block = _theta_block(vi_theta, gold, ("log_r1", "log_r2", "log_r3"))
     block["truth_log_rates"] = np.log(truth).tolist()
     block["vi_steps"] = steps
+    block["gold_standard"] = "joint NUTS over [theta(3), x_{1:T}]"
     return block
 
 
