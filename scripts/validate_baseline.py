@@ -599,7 +599,11 @@ def _learn_theta_smc_pieces(model, n_part):
         return jnp.maximum(jnp.stack([x1 + d1, x2 + d2], axis=1), 1.0 + 1e-4)
 
     def obs_lp(y, particles):
-        # y (2,): observed values; y ~ CHAIN(N(x, factor*x))
+        # y (2,): observed values; y ~ CHAIN(N(x, factor*x)). Guard y <= 1
+        # exactly like the engine's observation_log_prob: the chain's inverse
+        # is -inf there, and one crashed-population series would NaN the
+        # tempered target's 16-series mean evidence (frozen chain).
+        y = jnp.maximum(y, 1.0 + 1e-6)
         u = _SDE_CHAIN.inverse(y)
         ildj = _SDE_CHAIN.inverse_log_det(y)
         scale = model.obs_noise_factor * particles
