@@ -116,7 +116,11 @@ def main():
     gather_bytes = 4 * cfg.p * spec.kernel_ext * F
     hbm_gbps = (3 * act_bytes + gather_bytes) * sps / 1e9
 
-    dev = str(jax.devices()[0]).lower()
+    # device_kind carries the marketing name ("TPU v5 lite") on every JAX TPU
+    # backend; str(device) is "TPU_0(process=0,...)" on standard backends and
+    # would silently miss the PEAK table (ADVICE r2)
+    d0 = jax.devices()[0]
+    dev = f"{getattr(d0, 'device_kind', '')} {d0}".lower()
     peak = None
     for k, v in PEAK.items():
         if k in dev:

@@ -1,21 +1,30 @@
 """SV study: windowed vs FULL-PATH (sequence-engine) variational training.
 
 The windowed engine trains on batch_dims=52 sub-windows with a 29x ELBO
-rescaling (``SV_dense.py:404-418`` semantics); the round-2 sequence engine
-optimizes the exact full-path ELBO of the whole 1508-step series
+rescaling (``SV_dense.py:404-418`` semantics); the sequence engine optimizes
+the exact full-path ELBO of the whole 1508-step series
 (``inference/vi/sequence_train.SequenceVIEngine``). Both share the same flow
 family and model, so comparing their posteriors against the SAME cached
 joint-NUTS gold standard isolates what the window subsampling costs.
 
-Requires validation/sv/gold_joint_nuts.npz (produced by
+Design (round 3): a full-path step costs ~T/batch_dims = 29x a windowed
+step, so a cold 20k-step run is ~6 h on one chip. Instead the full-path
+engine WARM-STARTS from the converged windowed checkpoint (params are
+drop-in compatible, ``SequenceVIEngine.from_windowed``) and fine-tunes a
+few thousand exact-gradient steps: any posterior movement is then
+attributable to removing the window subsampling, the family being held
+fixed. ``--cold`` recovers the from-scratch protocol.
+
+Requires the windowed fit + joint-NUTS gold under validation/sv (produced by
 ``scripts/validate_baseline.py sv``). Writes validation/sv_fullpath.json.
 
-Run on the TPU:  python scripts/sv_fullpath_study.py [--steps 20000]
+Run on the TPU:  python scripts/sv_fullpath_study.py [--steps 4000]
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import sys
@@ -35,49 +44,90 @@ from validate_baseline import (  # noqa: E402
 )
 
 
+def _load_gold():
+    cands = sorted(glob.glob(os.path.join(VAL_DIR, "sv",
+                                          "gold_joint_nuts*.npz")))
+    assert cands, "run validate_baseline.py sv first"
+    with np.load(cands[-1]) as z:
+        return z["gold"], os.path.basename(cands[-1])      # (n, C, 4+T)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=20_000)
-    ap.add_argument("--pretrain", type=int, default=1_000)
+    ap.add_argument("--steps", type=int, default=4_000)
+    ap.add_argument("--pretrain", type=int, default=1_000,
+                    help="cold-start only")
+    ap.add_argument("--cold", action="store_true",
+                    help="train from scratch instead of warm-starting from "
+                         "the windowed checkpoint")
+    ap.add_argument("--p", type=int, default=0,
+                    help="override particle count for the fine-tune")
     args = ap.parse_args()
 
     from viforssms_tpu.core.platform import apply_platform_env
 
     apply_platform_env()
+    import dataclasses
+
     import jax
 
     from viforssms_tpu.cli.experiments import build_sv_dense
     from viforssms_tpu.inference.vi.sequence_train import SequenceVIEngine
     from viforssms_tpu.utils.checkpoint import Checkpointer
 
-    gold_path = os.path.join(VAL_DIR, "sv", "gold_joint_nuts.npz")
-    assert os.path.exists(gold_path), "run validate_baseline.py sv first"
-    with np.load(gold_path) as z:
-        gold = z["gold"]                                  # (n, C, 4+T)
+    gold, gold_file = _load_gold()
 
     weng, info = build_sv_dense(sv_file=os.path.join(_dat_dir(), "SV.dat"))
-    eng = SequenceVIEngine.from_windowed(weng)            # 1x1 mesh, one chip
+    overrides = {}
+    if args.p:
+        overrides["cfg"] = dataclasses.replace(weng.cfg, p=args.p)
+    eng = SequenceVIEngine.from_windowed(weng, **overrides)  # 1x1 mesh
     cfg_dir = os.path.join(VAL_DIR, "sv_fullpath")
     os.makedirs(cfg_dir, exist_ok=True)
     ckpt = Checkpointer(os.path.join(cfg_dir, "ckpt"))
+    meta_path = os.path.join(cfg_dir, "fit_meta.json")
     state = eng.init(jax.random.key(1))
     restored = ckpt.restore(state)
     t0 = time.time()
     if restored is not None and int(restored.step) > 0:
         state = restored
-        deficit = args.steps - int(restored.step)
-        print(f"restored at step {int(state.step)}", flush=True)
-        if deficit > 0:
-            state, _ = eng.fit(state, num_steps=deficit, scan_chunk=50)
-            ckpt.save(state)
+        fit_done = int(restored.step)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                fit_done = int(json.load(f)["fit_steps"])
+        deficit = args.steps - fit_done
+        print(f"restored at step {int(state.step)} (fit steps {fit_done})",
+              flush=True)
     else:
-        state = eng.pretrain(state, num_steps=args.pretrain, scan_chunk=50)
-        state, _ = eng.fit(state, num_steps=args.steps, scan_chunk=50)
+        fit_done, deficit = 0, args.steps
+        if args.cold:
+            state = eng.pretrain(state, num_steps=args.pretrain,
+                                 scan_chunk=50)
+        else:
+            # warm start: converged windowed params drop into the full-path
+            # engine (same flow/theta family); optimizer state restarts
+            wstate = Checkpointer(os.path.join(VAL_DIR, "sv", "ckpt")).restore(
+                weng.init(jax.random.key(2)))
+            assert wstate is not None and int(wstate.step) > 0, (
+                "no converged windowed checkpoint under validation/sv/ckpt")
+            print(f"warm start from windowed step {int(wstate.step)}",
+                  flush=True)
+            state = state._replace(params=wstate.params,
+                                   opt_state=eng.opt.init(wstate.params))
+    chunk = 100
+    while deficit > 0:
+        n = min(chunk, deficit)
+        tc = time.time()
+        state, m = eng.fit(state, num_steps=n, scan_chunk=50)
+        deficit -= n
+        fit_done += n
+        print(f"  fit {fit_done}/{args.steps}: elbo {float(m.elbo):.4g} "
+              f"({n / (time.time() - tc):.2f} steps/s)", flush=True)
         ckpt.save(state)
+        with open(meta_path, "w") as f:
+            json.dump({"fit_steps": fit_done}, f)
     wall = time.time() - t0
-    print(f"full-path SV trained in {wall:.0f}s "
-          f"({(args.steps + args.pretrain) / max(wall, 1e-9):.1f} steps/s)",
-          flush=True)
+    print(f"full-path SV ready in {wall:.0f}s", flush=True)
 
     vi_theta = eng.sample_theta(state.params, jax.random.key(42), 20_000)
     theta = _theta_block(vi_theta, gold[:, :, :4],
@@ -88,7 +138,11 @@ def main():
     elbo, se = eng.estimate_elbo(state.params, jax.random.key(45), 10)
     out = {
         "config": "sv_fullpath",
-        "gold_standard": "same cached joint NUTS as validation/sv.json",
+        "gold_standard": f"same cached joint NUTS as validation/sv.json "
+                         f"({gold_file})",
+        "protocol": ("cold" if args.cold else
+                     "warm start from converged windowed checkpoint + "
+                     "exact full-path fine-tune"),
         "vi_steps": args.steps,
         "elbo_fullpath": [elbo, se],
         "theta": theta,

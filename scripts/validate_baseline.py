@@ -25,6 +25,7 @@ Run:  python scripts/validate_baseline.py all        (hours on one chip)
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import sys
@@ -51,6 +52,11 @@ def _dat_dir():
 # shared plumbing
 # ---------------------------------------------------------------------------
 
+def _write_fit_meta(cfg_dir, fit_steps):
+    with open(os.path.join(cfg_dir, "fit_meta.json"), "w") as f:
+        json.dump({"fit_steps": int(fit_steps)}, f)
+
+
 def _train_or_restore(eng, cfg_dir, pretrain=None, finite_gate=None,
                       num_steps=20_000, seed=1, epochs=None, pre_epochs=0):
     """Fit the VI engine (or restore a finished state from cfg_dir/ckpt)."""
@@ -65,7 +71,16 @@ def _train_or_restore(eng, cfg_dir, pretrain=None, finite_gate=None,
     if restored is not None and int(restored.step) > 0:
         print(f"[{cfg_dir}] restored VI state at step {int(restored.step)}",
               flush=True)
-        deficit = 0 if epochs is not None else num_steps - int(restored.step)
+        # TrainState.step also counts pretrain steps (ADVICE r2): the
+        # fit-only count lives in a sidecar; for pre-sidecar checkpoints
+        # fall back to the total step (over-counts fit by the pretrain
+        # length, i.e. never re-trains a finished schedule).
+        fit_done = int(restored.step)
+        meta_path = os.path.join(cfg_dir, "fit_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                fit_done = int(json.load(f).get("fit_steps", fit_done))
+        deficit = 0 if epochs is not None else num_steps - fit_done
         if deficit <= 0:
             return restored
         # the checkpoint is from a shorter schedule: continue the fit
@@ -74,6 +89,7 @@ def _train_or_restore(eng, cfg_dir, pretrain=None, finite_gate=None,
         state, _ = eng.fit(restored, num_steps=deficit, scan_chunk=250)
         print(f"[{cfg_dir}] extended in {time.time() - t0:.0f}s", flush=True)
         ckpt.save(state)
+        _write_fit_meta(cfg_dir, fit_done + deficit)
         return state
     t0 = time.time()
     if epochs is not None:
@@ -85,16 +101,52 @@ def _train_or_restore(eng, cfg_dir, pretrain=None, finite_gate=None,
         state, _ = eng.fit(state, num_steps=num_steps, scan_chunk=250)
     print(f"[{cfg_dir}] VI trained in {time.time() - t0:.0f}s", flush=True)
     ckpt.save(state)
+    if epochs is None:
+        _write_fit_meta(cfg_dir, num_steps)
     return state
 
 
-def _gold_cache(cfg_dir, name, compute):
-    """Gold-standard draws are independent of the VI state: cache them under
-    ``cfg_dir`` so extending the VI fit re-runs only the cheap comparison.
-    ``compute() -> dict[str, np.ndarray]``; cached as one .npz."""
-    path = os.path.join(cfg_dir, f"gold_{name}.npz")
+def _key_hash(key):
+    """Stable short hash of a gold-run configuration dict (sampler settings
+    + init arrays, rounded so dtype noise doesn't churn the key)."""
+    def _enc(o):
+        try:
+            return np.asarray(o, np.float64).round(5).tolist()
+        except (TypeError, ValueError):
+            return str(o)
+
+    blob = json.dumps(key, sort_keys=True, default=_enc)
+    return hashlib.sha1(blob.encode()).hexdigest()[:10]
+
+
+def _gold_cache(cfg_dir, name, compute, key=None, adopt_legacy=False):
+    """Cache gold-standard draws under ``cfg_dir`` so extending the VI fit
+    re-runs only the cheap comparison. ``compute() -> dict[str, np.ndarray]``;
+    cached as one .npz.
+
+    ``key`` (ADVICE r2, medium): a dict identifying the gold-run
+    configuration — sampler settings AND the chain init points. Its hash is
+    part of the cache filename, so retraining the VI (which moves
+    VI-derived inits) or changing sampler settings invalidates the cache
+    instead of silently comparing against stale chains.
+
+    ``adopt_legacy``: rename an existing un-hashed ``gold_<name>.npz`` (the
+    round-2 format) to the current key's filename. Only safe when the
+    current key provably equals the one that produced the legacy file —
+    e.g. the VI checkpoint is at its full schedule, so the restored params
+    (and any init derived from them) are bitwise what round 2 used."""
+    if key is not None:
+        path = os.path.join(cfg_dir, f"gold_{name}_{_key_hash(key)}.npz")
+        legacy = os.path.join(cfg_dir, f"gold_{name}.npz")
+        if not os.path.exists(path) and adopt_legacy and os.path.exists(legacy):
+            os.rename(legacy, path)
+            print(f"[{cfg_dir}] adopted legacy gold cache {name} -> "
+                  f"{os.path.basename(path)}", flush=True)
+    else:
+        path = os.path.join(cfg_dir, f"gold_{name}.npz")
     if os.path.exists(path):
-        print(f"[{cfg_dir}] reusing cached gold draws: {name}", flush=True)
+        print(f"[{cfg_dir}] reusing cached gold draws: "
+              f"{os.path.basename(path)}", flush=True)
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
     out = {k: np.asarray(v) for k, v in compute().items()}
@@ -141,6 +193,7 @@ def _path_block(vi_paths, gold_paths):
     gold_flat = np.asarray(gold_paths, np.float64).reshape(-1, vi.shape[-1])
     sd = gold_flat.std(0) + 1e-12
     bias_sd = np.abs(cmp.mean_a - cmp.mean_b) / sd
+    top = np.argsort(bias_sd)[::-1][:8]
     return {
         "coords": int(vi.shape[-1]),
         "z_median": float(np.median(cmp.z)),
@@ -149,7 +202,88 @@ def _path_block(vi_paths, gold_paths):
         "bias_sd_median": float(np.median(bias_sd)),
         "bias_sd_max": float(np.max(bias_sd)),
         "mean_abs_diff": float(np.mean(np.abs(cmp.mean_a - cmp.mean_b))),
+        # worst coordinates, for root-causing (flat index into the
+        # (dims, T) path layout; VERDICT r2 item 2)
+        "outliers": [
+            {"coord": int(i), "bias_sd": float(bias_sd[i]),
+             "vi_mean": float(cmp.mean_a[i]), "gold_mean": float(cmp.mean_b[i]),
+             "gold_sd": float(sd[i])}
+            for i in top
+        ],
     }
+
+
+def _gold_run_diag(g):
+    """Sampler-health block from a gold cache dict (divergence counts etc.
+    are absent from round-2 caches — say so rather than invent zeros)."""
+    if "divergences" not in g:
+        return {"note": "sampler health not recorded (round-2 cache predates "
+                        "divergence tracking)"}
+    return {
+        "divergences_per_chain": np.asarray(g["divergences"]).astype(int).tolist(),
+        "depth_frac_max_per_chain": np.round(
+            np.asarray(g["depth_frac_max"], np.float64), 4).tolist(),
+        "step_size": float(np.asarray(g["step_size"])),
+        "mean_accept": float(np.asarray(g["accept"])),
+    }
+
+
+def _sv_notes(theta, paths, ok):
+    """Diagnosis paragraph for the SV verdict (VERDICT r2 item 1/5: no
+    verdict may point at notes that don't exist)."""
+    bs = np.asarray(theta["bias_in_posterior_sd"])
+    lines = [
+        f"Criterion: every theta coordinate within 0.5 gold posterior SDs "
+        f"(max observed {bs.max():.2f}; "
+        f"{'PASS' if ok else 'FAIL'}).",
+    ]
+    fp = os.path.join(VAL_DIR, "sv_fullpath.json")
+    if os.path.exists(fp):
+        with open(fp) as f:
+            s = json.load(f)
+        fb = np.asarray(s["theta"]["bias_in_posterior_sd"])
+        if fb.max() < 0.75 * bs.max():
+            lines.append(
+                f"The full-path study (validation/sv_fullpath.json, same gold) "
+                f"reaches max bias/sd {fb.max():.2f} vs windowed "
+                f"{bs.max():.2f}: the windowed engine's batch_dims=52 "
+                f"subsampling (a 29x ELBO rescaling, SV_dense.py:404-418) is "
+                f"the dominant bias source, not the variational family.")
+        else:
+            lines.append(
+                f"The full-path study (validation/sv_fullpath.json, same gold) "
+                f"reaches max bias/sd {fb.max():.2f} vs windowed "
+                f"{bs.max():.2f}: window subsampling is NOT the dominant "
+                f"bias source; the residual is the mode-seeking floor of the "
+                f"reference's own variational family (ConvIAF flows + "
+                f"Invert(MAF) theta posterior).")
+    lines.append(
+        f"Latent path: median bias/sd {paths['bias_sd_median']:.3f} over "
+        f"{paths['coords']} coords (z-fractions grow with gold ESS by "
+        f"construction; bias/sd is the family-floor scale).")
+    return " ".join(lines)
+
+
+def _fhn_notes(theta, paths, ok):
+    bs = np.asarray(theta["bias_in_posterior_sd"])
+    names = theta["names"]
+    worst = names[int(bs.argmax())]
+    lines = [
+        f"Criterion: every theta coordinate within 0.5 gold posterior SDs "
+        f"(max observed {bs.max():.2f} on {worst}; "
+        f"{'PASS' if ok else 'FAIL'}).",
+        "Gold: diagonal-mass joint NUTS with 8 chains — dense mass was "
+        "considered (VERDICT r2) and rejected for this 4005-dim joint "
+        "target: a full covariance estimated from O(10^4) warmup draws is "
+        "rank-deficient noise (hmc.py: diagonal is the design rule for "
+        "high-dimensional path targets; dense remains the right metric for "
+        "small-dim theta-only targets).",
+    ]
+    lines.append(
+        f"Path outliers: max bias/sd {paths['bias_sd_max']:.1f} "
+        f"(see outlier coordinates in this JSON's paths.outliers — spike "
+        f"transition steps where mode-seeking VI pins the jump time).")
+    return " ".join(lines)
 
 
 def _save(name, result):
@@ -223,7 +357,11 @@ def validate_ar1(fast=False):
               f"accept={np.asarray(res.accept_rate).mean():.2f}", flush=True)
         return {"gold": np.transpose(chains, (1, 0, 2))}  # (n, C, 3)
 
-    gold = _gold_cache(os.path.join(VAL_DIR, "ar1"), "mh", _mh_gold)["gold"]
+    gold = _gold_cache(os.path.join(VAL_DIR, "ar1"), "mh", _mh_gold,
+                       key={"sampler": "pmmh-exact-kalman", "n_mh": n_mh,
+                            "warm": warm, "scales": [0.1, 0.01, 0.02],
+                            "theta0s": theta0s},
+                       adopt_legacy=True)["gold"]
 
     vi_theta = eng.sample_theta(state.params, jax.random.key(11), 20_000)
     theta = _theta_block(vi_theta, gold, ("theta0", "theta1", "log_sigma"))
@@ -241,17 +379,34 @@ def validate_ar1(fast=False):
         os.path.join(VAL_DIR, "ar1"), "ffbs",
         lambda: {"paths": np.asarray(jax.vmap(one)(
             thetas_thin, jax.random.split(jax.random.key(12), n_path)))},
+        key={"n_path": n_path, "thetas": thetas_thin}, adopt_legacy=True,
     )["paths"]
     vi_paths = _vi_paths_batched(eng, state.params, jax.random.key(13),
                                  2 if fast else 8)
     paths = _path_block(vi_paths, gold_paths)
 
+    crit = ("max theta bias/sd < 0.5 AND path bias/sd < 0.5 on every "
+            "coordinate")
+    ok = bool(max(theta["bias_in_posterior_sd"]) < 0.5
+              and paths["bias_sd_max"] < 0.5)
     _save("ar1", {
         "gold_standard": "exact-evidence MH over theta (Kalman) + FFBS joint path draws",
         "reference": "hyperparameters.txt:1-28, AR.py:408-418",
         "fast": fast, "T": params["T"], "vi_steps": steps,
         "theta": theta, "paths": paths,
-        "pass": bool(max(theta["z_mc"]) < 2.0 or max(theta["bias_in_posterior_sd"]) < 0.5),
+        "criteria": crit,
+        "pass": ok,
+        "notes": (
+            "Criterion is bias in gold-posterior-SD units, not raw MC z: "
+            "with 4x16k exact-evidence MH draws the combined MC-SE shrinks "
+            "far below the variational family's mode-seeking floor, so any "
+            "fixed family fails z<2 given enough gold draws. bias/sd<0.5 "
+            "bounds the VI error at half a posterior standard deviation on "
+            "EVERY theta and path coordinate — a stricter outcome bar than "
+            "BASELINE.json's '2 MC-SE' reading under round-1 ESS. "
+            f"Observed: max theta bias/sd "
+            f"{max(theta['bias_in_posterior_sd']):.2f}, max path bias/sd "
+            f"{paths['bias_sd_max']:.2f}."),
     })
 
 
@@ -304,7 +459,10 @@ def validate_lv_partial(fast=False):
         return {"u": np.asarray(samples)}
 
     gold_u = _gold_cache(os.path.join(VAL_DIR, "lv_partial"), "path_nuts",
-                         _nuts_gold)["u"]                 # (n, C, 2T)
+                         _nuts_gold,
+                         key={"n_s": n_s, "n_w": n_w, "step_size": 0.02,
+                              "max_depth": 9, "init": init},
+                         adopt_legacy=True)["u"]          # (n, C, 2T)
     gold_paths = np.asarray(sp.forward(jnp.asarray(gold_u)))
     vi_paths = _vi_paths_batched(eng, state.params, jax.random.key(22),
                                  2 if fast else 8)        # (S, 2, T)
@@ -326,13 +484,43 @@ def validate_lv_partial(fast=False):
     # --- learnable-theta recovery config (loose 0.3 priors): PMMH cross-check
     pm = _lv_loose_pmmh(fast)
 
+    crit = ("path bias/sd median < 0.3 AND learnable-theta bias/sd < 1.0 "
+            "per coordinate")
+    ok = bool(paths["bias_sd_median"] < 0.3
+              and max(pm["bias_in_posterior_sd"]) < 1.0)
+    notes = [
+        f"Criterion: path bias/sd median < 0.3 (observed "
+        f"{paths['bias_sd_median']:.3f}) and learnable-theta bias/sd < 1.0 "
+        f"(observed max {max(pm['bias_in_posterior_sd']):.2f}); "
+        f"{'PASS' if ok else 'FAIL'}.",
+        f"frac |z|>2 = {paths['z_frac_gt2']:.2f} is reported but not a "
+        f"criterion: the gold path NUTS has per-coordinate ESS in the "
+        f"thousands, so the MC-SE is tiny and z grows without bound for any "
+        f"fixed variational family — bias/sd is the scale on which the "
+        f"family floor lives.",
+    ]
+    fp = os.path.join(VAL_DIR, "lv_fullpath.json")
+    if os.path.exists(fp):
+        with open(fp) as f:
+            s = json.load(f)
+        notes.append(
+            f"Windowed-vs-full-path study (validation/lv_fullpath.json, same "
+            f"gold): full-path path bias/sd median "
+            f"{s['paths']['bias_sd_median']:.3f} vs windowed "
+            f"{paths['bias_sd_median']:.3f} — "
+            + ("window subsampling dominates the path bias."
+               if s["paths"]["bias_sd_median"] < 0.75 * paths["bias_sd_median"]
+               else "the residual path bias is the variational family's "
+                    "floor, not a window-subsampling artifact."))
     _save("lv_partial", {
         "gold_standard": "path NUTS at pinned theta + PMMH on loose-prior learnable-theta config",
         "reference": "lotka_volterra_partial.py:467-477",
         "fast": fast, "vi_steps": steps,
         "paths": paths, "theta_pinned": theta_pinned,
         "theta_learnable_pmmh": pm,
-        "pass": bool(paths["bias_sd_median"] < 0.5),
+        "criteria": crit,
+        "pass": ok,
+        "notes": " ".join(notes),
     })
 
 
@@ -412,7 +600,10 @@ def _lv_loose_pmmh(fast=False):
         return {"gold": np.asarray(samples)[:, :, :3]}
 
     gold = _gold_cache(os.path.join(VAL_DIR, "lv_loose"), "joint_nuts",
-                       _nuts_gold)["gold"]
+                       _nuts_gold,
+                       key={"n_s": n_s, "n_w": n_w, "step_size": 0.01,
+                            "max_depth": 9, "init": init},
+                       adopt_legacy=True)["gold"]
     block = _theta_block(vi_theta, gold, ("log_r1", "log_r2", "log_r3"))
     block["truth_log_rates"] = np.log(truth).tolist()
     block["vi_steps"] = steps
@@ -424,7 +615,7 @@ def _lv_loose_pmmh(fast=False):
 # SV: joint NUTS over [theta(4), latent log-vol path]
 # ---------------------------------------------------------------------------
 
-def validate_sv(fast=False, steps=None):
+def validate_sv(fast=False, steps=None, n_s=None, n_w=None, chains=None):
     import jax
     import jax.numpy as jnp
 
@@ -456,18 +647,23 @@ def validate_sv(fast=False, steps=None):
     vi_lat_mean = vi_paths[:, 1, :].mean(0)
     vi_theta = eng.sample_theta(state.params, jax.random.key(42), 20_000)
     anchor = np.asarray(model.pretrain_theta_anchor, np.float32)
-    C = 4
+    # round 3: 8 chains x 4000 draws (vmapped chains cost ~the slowest chain
+    # per transition, so doubling C ~doubles the draw rate) — aimed at
+    # ESS > 400 on every theta coordinate (VERDICT r2 item 2/7). Half the
+    # chains start from the VI posterior, half from the pre-train anchor
+    # region; cross-init R-hat is itself an agreement test.
+    C = chains or (4 if fast else 8)
     init = np.empty((C, 4 + T), np.float32)
     rng = np.random.RandomState(0)
     for c in range(C):
-        if c < 2:
+        if c < C // 2:
             init[c, :4] = vi_theta.mean(0) + 0.02 * rng.normal(size=4)
             init[c, 4:] = vi_lat_mean + 0.05 * rng.normal(size=T)
         else:
             init[c, :4] = anchor + 0.05 * rng.normal(size=4)
             init[c, 4:] = model.pretrain_target + 0.2 * rng.normal(size=T)
-    n_s = 300 if fast else 1_500
-    n_w = 300 if fast else 1_000
+    n_s = n_s or (300 if fast else 4_000)
+    n_w = n_w or (300 if fast else 2_000)
     def _nuts_gold():
         t0 = time.time()
         samples, diag = nuts_sample(log_joint, jnp.asarray(init),
@@ -475,24 +671,39 @@ def validate_sv(fast=False, steps=None):
                                     num_warmup=n_w, step_size=0.01, max_depth=9,
                                     adapt_mass=True, dispatch_chunk=100)
         print(f"sv joint NUTS: {C}x{n_s} in {time.time()-t0:.0f}s, "
-              f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}",
+              f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}, "
+              f"divergences={np.asarray(diag['divergences']).tolist()}",
               flush=True)
-        return {"gold": np.asarray(samples)}
+        return {"gold": np.asarray(samples),
+                "divergences": np.asarray(diag["divergences"]),
+                "depth_frac_max": np.asarray(diag["depth_frac_max"]),
+                "step_size": np.asarray(diag["step_size"]),
+                "accept": np.asarray(diag["accept"]).mean()}
 
-    gold = _gold_cache(os.path.join(VAL_DIR, "sv"), "joint_nuts",
-                       _nuts_gold)["gold"]        # (n, C, 4+T)
+    g = _gold_cache(os.path.join(VAL_DIR, "sv"), "joint_nuts",
+                    _nuts_gold,
+                    # VI-derived init rows are part of the key: this cache
+                    # invalidates whenever the VI fit moves
+                    key={"n_s": n_s, "n_w": n_w, "step_size": 0.01,
+                         "max_depth": 9, "init": init})
+    gold = g["gold"]                               # (n, C, 4+T)
     theta = _theta_block(vi_theta, gold[:, :, :4],
                          ("t0_drift", "t1_mean", "t2_rate", "t3_vol"))
     vi_lat = _vi_paths_batched(eng, state.params, jax.random.key(44),
                                2 if fast else 6)[:, 1, :]
     paths = _path_block(vi_lat, gold[:, :, 4:])
 
+    crit = "max theta bias/sd < 0.5 (every coordinate)"
+    ok = bool(max(theta["bias_in_posterior_sd"]) < 0.5)
     _save("sv", {
         "gold_standard": "joint NUTS over [theta(4), x_{1:T}] on dat/SV.dat",
         "reference": "SV_dense.py:404-418",
         "fast": fast, "T": T, "vi_steps": steps,
         "theta": theta, "paths": paths,
-        "pass": bool(max(theta["bias_in_posterior_sd"]) < 1.0),
+        "gold_run": _gold_run_diag(g),
+        "criteria": crit,
+        "pass": ok,
+        "notes": _sv_notes(theta, paths, ok),
     })
 
 
@@ -500,7 +711,8 @@ def validate_sv(fast=False, steps=None):
 # FHN: joint NUTS at a converged (scaled-T) config
 # ---------------------------------------------------------------------------
 
-def validate_fhn(fast=False, T_units=200.0, steps=150_000):
+def validate_fhn(fast=False, T_units=200.0, steps=150_000, n_s=None, n_w=None,
+                 chains=None):
     import jax
     import jax.numpy as jnp
 
@@ -520,20 +732,23 @@ def validate_fhn(fast=False, T_units=200.0, steps=150_000):
 
     log_joint = ssm2d_log_joint(eng.model, obs, obs_bin, info["x0"])
     # init paths from interpolated observations (both dims observed at obs
-    # steps in the synthetic protocol), theta from the pre-train anchor
+    # steps in the synthetic protocol), theta from the pre-train anchor.
+    # round 3: 8 chains, 3000 draws — aimed at ESS > 400 / R-hat < 1.01 on
+    # the noise parameters (VERDICT r2 item 2); diagonal mass by design for
+    # this 4005-dim joint target (see _fhn_notes).
     x_init = np.empty((2, T))
     for dim in range(2):
         t_obs = np.where(obs_bin[dim] > 0)[0]
         x_init[dim] = np.interp(np.arange(T), t_obs, obs[dim][t_obs])
     anchor = np.asarray(eng.model.pretrain_theta_anchor, np.float32)
-    C = 4
+    C = chains or (4 if fast else 8)
     rng = np.random.RandomState(1)
     init = np.concatenate([
         np.tile(anchor, (C, 1)) + 0.05 * rng.normal(size=(C, 5)),
         np.tile(x_init.reshape(1, -1), (C, 1)) + 0.05 * rng.normal(size=(C, 2 * T)),
     ], axis=1).astype(np.float32)
-    n_s = 300 if fast else 1_500
-    n_w = 300 if fast else 1_000
+    n_s = n_s or (300 if fast else 3_000)
+    n_w = n_w or (300 if fast else 1_500)
     def _nuts_gold():
         t0 = time.time()
         samples, diag = nuts_sample(log_joint, jnp.asarray(init),
@@ -541,12 +756,20 @@ def validate_fhn(fast=False, T_units=200.0, steps=150_000):
                                     num_warmup=n_w, step_size=0.01, max_depth=9,
                                     adapt_mass=True, dispatch_chunk=100)
         print(f"fhn joint NUTS: {C}x{n_s} in {time.time()-t0:.0f}s, "
-              f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}",
+              f"accept={float(np.mean(np.asarray(diag['accept']))):.2f}, "
+              f"divergences={np.asarray(diag['divergences']).tolist()}",
               flush=True)
-        return {"gold": np.asarray(samples)}
+        return {"gold": np.asarray(samples),
+                "divergences": np.asarray(diag["divergences"]),
+                "depth_frac_max": np.asarray(diag["depth_frac_max"]),
+                "step_size": np.asarray(diag["step_size"]),
+                "accept": np.asarray(diag["accept"]).mean()}
 
-    gold = _gold_cache(os.path.join(VAL_DIR, "fhn"), "joint_nuts",
-                       _nuts_gold)["gold"]
+    g = _gold_cache(os.path.join(VAL_DIR, "fhn"), "joint_nuts",
+                    _nuts_gold,
+                    key={"n_s": n_s, "n_w": n_w, "step_size": 0.01,
+                         "max_depth": 9, "init": init})
+    gold = g["gold"]
     vi_theta = eng.sample_theta(state.params, jax.random.key(52), 20_000)
     theta = _theta_block(vi_theta, gold[:, :, :5],
                          ("log_eps", "alpha", "beta", "log_s1", "log_s2"))
@@ -556,13 +779,18 @@ def validate_fhn(fast=False, T_units=200.0, steps=150_000):
     paths = _path_block(vi_paths.reshape(vi_paths.shape[0], -1),
                         gold[:, :, 5:])
 
+    crit = "max theta bias/sd < 0.5 (every coordinate)"
+    ok = bool(max(theta["bias_in_posterior_sd"]) < 0.5)
     _save("fhn", {
         "gold_standard": "joint NUTS over [theta(5), x_{1:2T}] on synthetic FHN",
         "reference": "fitz_nag_NVP.py:453-468 (T scaled to "
                      f"{T_units} time units = {T} steps)",
         "fast": fast, "T_steps": T, "vi_steps": steps,
         "theta": theta, "paths": paths,
-        "pass": bool(max(theta["bias_in_posterior_sd"]) < 1.0),
+        "gold_run": _gold_run_diag(g),
+        "criteria": crit,
+        "pass": ok,
+        "notes": _fhn_notes(theta, paths, ok),
     })
 
 
@@ -692,8 +920,14 @@ def validate_lv_learn_theta(fast=False):
                                       (1, 0, 2)),
                     "accept": np.asarray(res.accept_rate)}
 
+        # adopt_legacy is sound here: the VI checkpoint is at its full epoch
+        # schedule, so the restored params — and u_vi derived from them —
+        # are bitwise the round-2 values that produced the legacy cache
         g = _gold_cache(os.path.join(VAL_DIR, "lv_learn_theta"),
-                        f"pmmh_s{si}", _series_gold)
+                        f"pmmh_s{si}", _series_gold,
+                        key={"n_mh": n_mh, "warm": warm,
+                             "scales": [0.1, 0.1, 0.1], "theta0s": theta0s},
+                        adopt_legacy=True)
         gold_u = g["u"]
         gold_rates = np.log1p(np.exp(gold_u))       # softplus
         per_series.append({
@@ -740,7 +974,11 @@ def validate_lv_learn_theta(fast=False):
                                   (1, 0, 2))}
 
     gold_u = _gold_cache(os.path.join(VAL_DIR, "lv_learn_theta"), "tempered",
-                         _tempered_gold)["u"]
+                         _tempered_gold,
+                         key={"n_mh": n_mh2, "warm": warm2,
+                              "scales": [0.15, 0.15, 0.15], "theta0s": theta0s,
+                              "M": M, "n_part": n_part},
+                         adopt_legacy=True)["u"]
     gold_rates_ncd = np.log1p(np.exp(gold_u))
     tempered = _theta_block(vi_theta, gold_rates_ncd, ("r1", "r2", "r3"))
     tempered["note"] = (
@@ -752,6 +990,26 @@ def validate_lv_learn_theta(fast=False):
     prior_rate_mean = np.log1p(np.exp(
         np.asarray(model.prior_mean)
         + 0.0)).tolist()  # softplus of u-mean (prior location in rate space)
+    # The tempered gold's own series-subsample SE: it averages M series'
+    # log-evidence, but the per-series posteriors differ (the PMMH spread) —
+    # a different M-subsample moves the gold mean by about this much.
+    ps_means = np.asarray([s["posterior_rate_mean"] for s in per_series])
+    sub_se = (ps_means.std(0, ddof=1) / np.sqrt(M)
+              / np.maximum(np.asarray(tempered["gold_sd"]), 1e-12))
+    crit = "tempered-target bias/sd < 1.0 per coordinate"
+    ok = bool(max(tempered["bias_in_posterior_sd"]) < 1.0)
+    notes = (
+        f"Criterion: VI within 1.0 gold SDs of the tempered target "
+        f"(observed max {max(tempered['bias_in_posterior_sd']):.2f}; "
+        f"{'PASS' if ok else 'FAIL'}). The looser-than-0.5 bar is "
+        f"quantified, not hand-waved: the tempered gold itself carries an "
+        f"M={M}-series subsample standard error of "
+        f"{np.round(sub_se, 2).tolist()} gold SDs per coordinate (estimated "
+        f"from the per-series PMMH spread), plus SMC evidence noise — a "
+        f"bias below ~1 gold SD is indistinguishable from the gold's own "
+        f"subsampling error. The per-series PMMH posteriors bracket the "
+        f"shared VI q(theta), which is the pooling the reference's shared "
+        f"theta flow performs by construction.")
     _save("lv_learn_theta", {
         "gold_standard": "per-series PMMH (exact) + tempered-target MH "
                          "(the objective's implied optimum)",
@@ -763,7 +1021,9 @@ def validate_lv_learn_theta(fast=False):
         "prior_rate_location": prior_rate_mean,
         "per_series_pmmh": per_series,
         "tempered_target": tempered,
-        "pass": bool(max(tempered["bias_in_posterior_sd"]) < 1.0),
+        "criteria": crit,
+        "pass": ok,
+        "notes": notes,
     })
 
 
@@ -850,7 +1110,20 @@ def write_report():
                       f"location (rate space): "
                       f"{['%.3g' % v for v in r['prior_rate_location']]}",
                       ""]
-        lines += [f"**verdict: {'PASS' if r.get('pass') else 'SEE NOTES'}**", ""]
+        gr = r.get("gold_run")
+        if gr and "divergences_per_chain" in gr:
+            lines.append(
+                f"Gold-run health: divergences/chain = "
+                f"{gr['divergences_per_chain']}, step size "
+                f"{gr['step_size']:.2g}, mean accept {gr['mean_accept']:.2f}, "
+                f"max-depth-capped fraction/chain = "
+                f"{gr['depth_frac_max_per_chain']}")
+            lines.append("")
+        if r.get("criteria"):
+            lines += [f"Criteria: {r['criteria']}", ""]
+        lines += [f"**verdict: {'PASS' if r.get('pass') else 'FAIL'}**", ""]
+        if r.get("notes"):
+            lines += [f"Notes: {r['notes']}", ""]
     out = os.path.join(os.path.dirname(VAL_DIR), "VALIDATION.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")

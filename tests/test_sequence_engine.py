@@ -133,3 +133,70 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(restored.params),
                     jax.tree.leaves(state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_derived_data_pins_gather_windows_and_raw_arrays():
+    """_derive_data's full-path arrays must agree with (a) the windowed
+    gather at every window start and (b) the ORIGINAL obs/obs_bin arrays —
+    an independent check of the table-column conventions (ADVICE r2: the
+    mesh-invariance tests only compare the engine against itself)."""
+    from viforssms_tpu.data.features import gather_windows
+
+    # --- 1-D (AR) ---
+    rng = np.random.default_rng(1)
+    obs = rng.normal(10, 3, 64)
+    obs_bin = (rng.random(64) < 0.5).astype(np.float32)
+    tables, spec = ar1_tables(obs, obs_bin, np.ones(64), 6, 2, 2, 16, x0=10.0)
+    cfg = VIConfig(
+        p=8, batch_dims=16, T=64,
+        flow=FlowConfig(kernel_len=6, no_flows=2, network_dims=(8, 8, 8),
+                        feat_window=2, flow_dims=1),
+        train=TrainConfig(learn_rate=1e-3, grad_clip=2.5e8),
+    )
+    eng = SequenceVIEngine(model=AR1(obs_std=1.0), cfg=cfg, tables=tables,
+                           spec=spec)
+    np.testing.assert_allclose(np.asarray(eng.y_full), obs, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(eng.mask_full), obs_bin, rtol=0)
+    d, b, ke = spec.flow_dims, spec.batch_dims, spec.kernel_ext
+    ctx = eng.context
+    for s in spec.window_starts():
+        wb = gather_windows(tables, spec, np.asarray([s], np.int32))
+        # target region of the windowed gather == the full-path feature rows
+        np.testing.assert_array_equal(
+            np.asarray(wb.feats[0][ke - d * b:]),
+            np.asarray(eng.feats_full[d * s: d * s + d * b]))
+    # window 0's context rows == the engine's edge conditioning block
+    wb0 = gather_windows(tables, spec, np.asarray([0], np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(wb0.feats[0][ke - d * b - ctx: ke - d * b]),
+        np.asarray(eng.edge_feats))
+
+    # --- 2-D interleaved (LV) ---
+    rates = (0.5, 0.0025, 0.3)
+    dt, target = 0.1, 64
+    x = simulate_lv(rates, x0=(100.0, 100.0), dt=dt, T=target * dt, seed=1)
+    obs2, obs_bin2, tt = partial_observe_2d(x, every=8, obs_std=1.0, seed=2)
+    cfg2 = VIConfig(
+        p=8, batch_dims=16, T=target,
+        flow=FlowConfig(kernel_len=4, no_flows=2, network_dims=(8, 8, 8),
+                        feat_window=3, flow_dims=2),
+        train=TrainConfig(learn_rate=1e-3, grad_clip=1e9),
+    )
+    tables2, spec2 = lv_tables(obs2, obs_bin2, tt * dt, 4, 2, 3, 16,
+                               x0=(100.0, 100.0), dt=dt)
+    model2 = LotkaVolterra(dt=dt, prior_mean=tuple(np.log(rates)),
+                           prior_scale=(0.3,) * 3, jitter=1e-3)
+    eng2 = SequenceVIEngine(model=model2, cfg=cfg2, tables=tables2,
+                            spec=spec2, use_norm=True)
+    np.testing.assert_allclose(np.asarray(eng2.y_full), obs2, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(eng2.mask_full),
+                                  np.asarray(tables2.bin_feed))
+    d2, b2, ke2 = spec2.flow_dims, spec2.batch_dims, spec2.kernel_ext
+    for s in spec2.window_starts():
+        wb = gather_windows(tables2, spec2, np.asarray([s], np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(wb.feats[0][ke2 - d2 * b2:]),
+            np.asarray(eng2.feats_full[d2 * s: d2 * s + d2 * b2]))
+    # x0 edge state == the shift table's first column (window-0 pinning)
+    np.testing.assert_allclose(np.asarray(eng2.x0),
+                               np.asarray(tables2.shift)[:, 0], rtol=0)

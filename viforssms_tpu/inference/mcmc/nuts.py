@@ -94,16 +94,17 @@ def nuts_sample(
         p_ck = jnp.zeros((max_depth + 1, dim))
 
         def cond(c):
-            i, z, first, prop, n, stop, _, _, _, _, _ = c
+            i, z, first, prop, n, stop, _, _, _, _, _, _ = c
             return (i < n_leaves) & ~stop
 
         def body(c):
-            i, z, first, prop, n, stop, q_ck, p_ck, k, a_sum, a_cnt = c
+            i, z, first, prop, n, stop, div, q_ck, p_ck, k, a_sum, a_cnt = c
             k, k_prop = jax.random.split(k)
             z = leapfrog(z, v * eps, inv_mass)
             h = hamiltonian(z, inv_mass)
             admissible = (log_u <= h).astype(jnp.int32)
             diverged = ~(log_u < h + _DELTA_MAX)
+            div = div | diverged
             # per-leaf Metropolis statistic for dual averaging (NUTS paper, eq. for alpha)
             a_sum = a_sum + jnp.minimum(1.0, jnp.exp(h - h0))
             a_cnt = a_cnt + 1
@@ -132,18 +133,18 @@ def nuts_sample(
             turning = jax.lax.fori_loop(0, max_depth + 1, lambda s, tn: check(s, tn),
                                         jnp.asarray(False))
             stop = diverged | turning
-            return (i + 1, z, first, prop, n_new, stop, q_ck, p_ck, k, a_sum, a_cnt)
+            return (i + 1, z, first, prop, n_new, stop, div, q_ck, p_ck, k,
+                    a_sum, a_cnt)
 
         init = (
             jnp.asarray(0, jnp.int32), z_edge, z_edge, z_edge.q,
-            jnp.asarray(0, jnp.int32), jnp.asarray(False), q_ck, p_ck, key,
-            jnp.asarray(0.0), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(False),
+            q_ck, p_ck, key, jnp.asarray(0.0), jnp.asarray(0, jnp.int32),
         )
-        (i, z_last, z_first, prop, n, stop, _, _, _, a_sum, a_cnt) = jax.lax.while_loop(
-            cond, body, init
-        )
+        (i, z_last, z_first, prop, n, stop, div, _, _, _, a_sum, a_cnt) = (
+            jax.lax.while_loop(cond, body, init))
         ok = (i >= n_leaves) & ~stop  # all leaves generated, no divergence/U-turn
-        return z_first, z_last, prop, n, ok, a_sum, a_cnt
+        return z_first, z_last, prop, n, ok, div, a_sum, a_cnt
 
     def transition(q, key, eps, inv_mass):
         sample_p, _, _ = _metric_fns(inv_mass)
@@ -158,11 +159,11 @@ def nuts_sample(
             return s & (depth < max_depth)
 
         def body(c):
-            depth, s, z_minus, z_plus, prop, n, k, a_sum, a_cnt = c
+            depth, s, z_minus, z_plus, prop, n, k, a_sum, a_cnt, div = c
             k, kd, kt, ka = jax.random.split(k, 4)
             v = jnp.where(jax.random.bernoulli(kd), 1.0, -1.0)
             edge = jax.tree.map(lambda a, b: jnp.where(v > 0, a, b), z_plus, z_minus)
-            (t_first, t_last, t_prop, t_n, t_ok, t_asum, t_acnt) = build_subtree(
+            (t_first, t_last, t_prop, t_n, t_ok, t_div, t_asum, t_acnt) = build_subtree(
                 kt, edge, v, depth, eps, log_u, h0, inv_mass
             )
             accept = s & t_ok & (
@@ -178,14 +179,17 @@ def nuts_sample(
                 jnp.dot(dq, velocity(z_plus.p)) >= 0.0)
             s = s & t_ok & no_uturn
             return (depth + 1, s, z_minus, z_plus, prop, n, k,
-                    a_sum + t_asum, a_cnt + t_acnt)
+                    a_sum + t_asum, a_cnt + t_acnt, div | t_div)
 
         init = (jnp.asarray(0, jnp.int32), jnp.asarray(True), z0, z0, q,
                 jnp.asarray(1, jnp.int32), k_loop, jnp.asarray(0.0),
-                jnp.asarray(0, jnp.int32))
-        (depth, s, _, _, prop, n, _, a_sum, a_cnt) = jax.lax.while_loop(cond, body, init)
+                jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        (depth, s, _, _, prop, n, _, a_sum, a_cnt, div) = jax.lax.while_loop(
+            cond, body, init)
         accept_stat = a_sum / jnp.maximum(a_cnt, 1)
-        return prop, accept_stat
+        # depth is the number of doublings run; it saturates at max_depth when
+        # the trajectory never U-turned (tree-size-limited transition)
+        return prop, accept_stat, div, depth
 
     v_transition = jax.vmap(transition, in_axes=(0, 0, None, None))
     n_chains = init_q.shape[0]
@@ -212,45 +216,47 @@ def nuts_sample(
         def step(c, inp):
             t, key = inp
             q, da, w = c
-            q, acc = v_transition(q, jax.random.split(key, n_chains),
-                                  jnp.exp(da.log_step), inv_mass)
+            q, acc, div, _ = v_transition(q, jax.random.split(key, n_chains),
+                                          jnp.exp(da.log_step), inv_mass)
             da = da_update(da, jnp.mean(acc), target=target_accept)
             w_new = w_update(w, q)
             w = jax.tree.map(
                 lambda a, b: jnp.where(t >= collect_from, a, b), w_new, w)
-            return (q, da, w), jnp.mean(acc)
+            return (q, da, w), (jnp.mean(acc), jnp.sum(div))
 
         return jax.lax.scan(step, carry, (ts, keys))
 
     def warmup_phase(key, q, da, inv_mass, num_steps, collect_from):
         keys = jax.random.split(key, num_steps)
         carry = (q, da, w_init())
-        accs = []
+        accs, divs = [], []
         for s, e in _chunks(num_steps):
-            carry, acc = _warm_seg(carry, inv_mass,
-                                   jnp.asarray(collect_from),
-                                   jnp.arange(s, e), keys[s:e])
+            carry, (acc, dv) = _warm_seg(carry, inv_mass,
+                                         jnp.asarray(collect_from),
+                                         jnp.arange(s, e), keys[s:e])
             accs.append(acc)
+            divs.append(dv)
         q, da, w = carry
-        return q, da, w, jnp.concatenate(accs)
+        return q, da, w, jnp.concatenate(accs), jnp.concatenate(divs)
 
     k_warm, k_warm2, k_samp = jax.random.split(key, 3)
     inv_mass = jnp.ones((dim,), init_q.dtype)
     if adapt_mass:
         n1 = num_warmup // 2
-        q, da, w, acc1 = warmup_phase(
+        q, da, w, acc1, div1 = warmup_phase(
             k_warm, init_q, da_init(step_size), inv_mass, n1, n1 // 4)
         if dense_mass:
             cov = welford_covariance(w).astype(init_q.dtype)
             inv_mass = jnp.linalg.cholesky(cov)  # Σ = L Lᵀ (inverse metric)
         else:
             inv_mass = welford_variance(w).astype(init_q.dtype)
-        q, da, _, acc2 = warmup_phase(
+        q, da, _, acc2, div2 = warmup_phase(
             k_warm2, q, da_init(float(step_size)), inv_mass,
             num_warmup - n1, num_warmup)
         warm_acc = jnp.concatenate([acc1, acc2])
+        warm_div = jnp.concatenate([div1, div2])
     else:
-        q, da, _, warm_acc = warmup_phase(
+        q, da, _, warm_acc, warm_div = warmup_phase(
             k_warm, init_q, da_init(step_size), inv_mass, num_warmup, num_warmup)
 
     eps = jnp.exp(da.log_step_avg)
@@ -259,20 +265,33 @@ def nuts_sample(
     def _samp_seg(carry, inv_mass, keys):
         def sample_step(c, key):
             q, eps = c
-            q, acc = v_transition(q, jax.random.split(key, n_chains), eps,
-                                  inv_mass)
-            return (q, eps), (q, jnp.mean(acc))
+            q, acc, div, depth = v_transition(
+                q, jax.random.split(key, n_chains), eps, inv_mass)
+            return (q, eps), (q, jnp.mean(acc), div, depth)
 
         return jax.lax.scan(sample_step, carry, keys)
 
     keys_s = jax.random.split(k_samp, num_samples)
     carry = (q, eps)
-    samples_parts, acc_parts = [], []
+    samples_parts, acc_parts, div_parts, depth_parts = [], [], [], []
     for s, e in _chunks(num_samples):
-        carry, (smp, acc) = _samp_seg(carry, inv_mass, keys_s[s:e])
+        carry, (smp, acc, div, depth) = _samp_seg(carry, inv_mass, keys_s[s:e])
         samples_parts.append(smp)
         acc_parts.append(acc)
+        div_parts.append(div)
+        depth_parts.append(depth)
     samples = jnp.concatenate(samples_parts)
     acc = jnp.concatenate(acc_parts)
-    return samples, {"step_size": eps, "warmup_accept": warm_acc, "accept": acc,
-                     "inv_mass": inv_mass}
+    div = jnp.concatenate(div_parts)        # (num_samples, n_chains) bool
+    depth = jnp.concatenate(depth_parts)    # (num_samples, n_chains) int
+    return samples, {
+        "step_size": eps, "warmup_accept": warm_acc, "accept": acc,
+        "inv_mass": inv_mass,
+        # gold-run health: per-chain divergence counts and the fraction of
+        # transitions whose trajectory was cut by the max_depth cap rather
+        # than a U-turn (VERDICT r2 item 7 — judging gold standards)
+        "divergences": jnp.sum(div, axis=0),
+        "warmup_divergences": jnp.sum(warm_div),
+        "depth_frac_max": jnp.mean((depth >= max_depth).astype(jnp.float32),
+                                   axis=0),
+    }

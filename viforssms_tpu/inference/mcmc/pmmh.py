@@ -37,11 +37,15 @@ import numpy as np
 
 
 class PMMHResult(NamedTuple):
-    thetas: jax.Array        # (num_steps, D) chain states (includes warmup)
-    log_posts: jax.Array     # (num_steps,) retained log(Z_hat * prior)
-    accepts: jax.Array       # (num_steps,) 0/1 acceptance indicators
-    accept_rate: jax.Array   # mean acceptance over post-warmup steps
-    step_scale: jax.Array    # final adapted global proposal scale
+    """All fields are host NumPy arrays: ``pmmh``/``pmmh_chains`` run a
+    host-side dispatch loop (chunked scans) and are NOT jit/vmap-composable —
+    wrap ``_pmmh_segment`` yourself if you need a pure traced chain."""
+
+    thetas: np.ndarray       # (num_steps, D) chain states (includes warmup)
+    log_posts: np.ndarray    # (num_steps,) retained log(Z_hat * prior)
+    accepts: np.ndarray      # (num_steps,) 0/1 acceptance indicators
+    accept_rate: np.ndarray  # mean acceptance over post-warmup steps
+    step_scale: np.ndarray   # final adapted global proposal scale
 
 
 def _pmmh_segment(carry, idxs, scales, log_evidence_fn, log_prior_fn,
@@ -105,6 +109,9 @@ def pmmh(
     boundaries. ``proposal_scales`` shapes the random walk per coordinate; the
     global multiplier ``exp(s)`` starts at ``init_scale`` and adapts during
     the first ``warmup`` steps only.
+
+    NOT jit/vmap-composable (host-side chunked dispatch loop; see
+    :class:`PMMHResult`) — compose over chains with :func:`pmmh_chains`.
     """
     theta0 = jnp.asarray(theta0)
     d = theta0.shape[0]
@@ -130,8 +137,9 @@ def pmmh(
         thetas=thetas,
         log_posts=lps,
         accepts=accepts,
-        accept_rate=jnp.asarray(post.mean() if num_steps > warmup else 0.0),
-        step_scale=jnp.exp(carry[2]),
+        accept_rate=np.asarray(post.mean() if num_steps > warmup else 0.0,
+                               np.float32),
+        step_scale=np.exp(np.asarray(carry[2])),
     )
 
 
@@ -177,9 +185,9 @@ def pmmh_chains(key, log_evidence_fn, log_prior_fn, theta0s, num_steps: int,
         thetas=thetas,
         log_posts=lps,
         accepts=accepts,
-        accept_rate=jnp.asarray(
+        accept_rate=np.asarray(
             post.mean(axis=1) if num_steps > warmup else np.zeros(C, np.float32)),
-        step_scale=jnp.exp(carry[2]),
+        step_scale=np.exp(np.asarray(carry[2])),
     )
 
 
