@@ -50,12 +50,29 @@ def measured_baseline_steps_per_sec() -> tuple[float, str]:
     return float(r["steps_per_sec"]), "measured"
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true",
+                    help="also run the batched learn-theta bench "
+                         "(scripts/bench_learn_theta.py) before the headline "
+                         "LV-partial line — the headline stays LAST on "
+                         "stdout for the driver's single-line parse")
+    args = ap.parse_args(argv)
+
     import jax
 
     from viforssms_tpu.core.platform import apply_platform_env
 
     apply_platform_env()
+
+    if args.all:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        import bench_learn_theta
+
+        print(json.dumps(bench_learn_theta.measure()), flush=True)
 
     from __graft_entry__ import _lv_engine
 

@@ -17,7 +17,9 @@ Prints one JSON line per mesh size for each of two sharding regimes:
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import time
 
 
@@ -98,8 +100,12 @@ def measure_sequence(n_devices: int, T_total: int = 512, p: int = 8,
     return steps / (time.perf_counter() - t0)
 
 
-def main():
-    import os
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="also write the aggregated machine-readable table "
+                         "to this JSON file (e.g. SCALING.json)")
+    args = ap.parse_args(argv)
 
     from viforssms_tpu.core.platform import apply_platform_env
 
@@ -120,30 +126,57 @@ def main():
     while k <= n:
         sizes.append(k)
         k *= 2
+    rows = []
     base = None
     for s in sizes:
         r = measure(s)
         if base is None:
             base = r
-        print(json.dumps({
+        rows.append({
             "axis": "particles",
             "devices": s,
             "samples_per_sec": round(r, 1),
             "efficiency_vs_1": round(r / (base * s), 3),
-        }), flush=True)
+        })
+        print(json.dumps(rows[-1]), flush=True)
     base = None
     for s in sizes:
         r = measure_sequence(s)
         if base is None:
             base = r
-        print(json.dumps({
+        rows.append({
             "axis": "sequence",
             "devices": s,
             "steps_per_sec": round(r, 2),
             # fixed total length: ideal scaling is constant work/step spread
             # over s devices -> speedup_vs_1 ~ s on real hardware
             "speedup_vs_1": round(r / base, 2),
-        }), flush=True)
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    if args.out:
+        backend = jax.default_backend()
+        cores = os.cpu_count()
+        out = {
+            "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "backend": backend,
+            "device_count": n,
+            "physical_cores": cores,
+            "virtual_cpu_mesh": backend == "cpu",
+            "note": (f"virtual CPU devices share {cores} physical cores: "
+                     f"per-device efficiency is bounded above by "
+                     f"cores/devices (= {cores}/N) before any collective "
+                     f"cost, so this table certifies the sharding MACHINERY "
+                     f"(every mesh size compiles and trains), not hardware "
+                     f"efficiency — run the same command on a pod slice "
+                     f"(docs/POD_RUNBOOK.md) for the BASELINE.md >=0.85 @ 4 "
+                     f"hosts target" if backend == "cpu" else
+                     "real accelerator mesh"),
+            "target": "ELBO-samples/s efficiency >= 0.85 at 4 hosts (BASELINE.md)",
+            "rows": rows,
+        }
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,116 @@
+"""Second headline bench: batched learn-theta training throughput.
+
+The reference's terminal variant (``..._learn_theta.py:787-802``) trains a
+shared theta posterior over 1024 series at p=128 via a tf.data epoch loop:
+precomputed per-series feature tensors, one ``sess.run([train_step, merged,
+mean_loss])`` dispatch + host fetch per batch (``:623-707``). Round 2 ran the
+full schedule at ~38 steps/s without the step-cost treatment the LV-partial
+bench got (VERDICT r2 item 6).
+
+This script measures, on the same chip and the same compiled math:
+
+  * ``reference_loop``: the reference's LOOP SHAPE — one dispatch per batch
+    with a per-step host fetch of the loss (the tf.data epoch loop's
+    structure; features are device-resident as tf.data staged them);
+  * ``production``: the production path — scanned epochs (``train_epoch``:
+    one dispatch per epoch), aligned 2-D features, stacked gathers, bf16
+    MXU passes, flat Adamax.
+
+Emits one JSON line (also consumed by bench.py --all). Both measurements run
+fresh each invocation — the dominant cost is the one-time engine build.
+
+Run:  python scripts/bench_learn_theta.py [--epochs 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _engines(num_series: int, p_val: int):
+    from viforssms_tpu.cli.experiments import build_lv_learn_theta
+
+    eng, info = build_lv_learn_theta(synthetic=True, num_series=num_series,
+                                     p_val=p_val)
+    # production settings: bf16 MXU passes (quality validated on the LV
+    # bench, docs/RESULTS.md), aligned feats + stacked gathers are already
+    # the engine defaults
+    prod = dataclasses.replace(eng, matmul_precision="bfloat16")
+    return eng, prod, info
+
+
+def measure(num_series: int = 256, p_val: int = 128, epochs: int = 8,
+            ref_steps: int = 30) -> dict:
+    import jax
+
+    eng, prod, _ = _engines(num_series, p_val)
+    per_epoch = num_series // p_val
+    idx_mat = np.stack([
+        np.arange(i, i + p_val, dtype=np.int32)
+        for i in range(0, num_series - p_val + 1, p_val)
+    ])
+
+    # --- production: scanned epochs ---
+    state = prod.init(jax.random.key(0))
+    state, ms = prod.train_epoch(state, idx_mat)        # compile
+    float(ms.elbo[-1])
+    rates = []
+    for i in range(epochs):
+        t0 = time.perf_counter()
+        state, ms = prod.train_epoch(state, idx_mat)
+        float(ms.elbo[-1])                              # completion fence
+        if i > 0:
+            rates.append(per_epoch / (time.perf_counter() - t0))
+    rates.sort()
+    prod_sps = rates[len(rates) // 2]
+
+    # --- reference loop shape: per-batch dispatch + per-step loss fetch ---
+    state = eng.init(jax.random.key(0))
+    state, m = eng.train_step_at(state, idx_mat[0])     # compile
+    float(m.elbo)
+    times = []
+    for i in range(ref_steps):
+        t0 = time.perf_counter()
+        state, m = eng.train_step_at(state, idx_mat[i % per_epoch])
+        float(m.elbo)                                   # sess.run fetch parity
+        times.append(time.perf_counter() - t0)
+    ref_sps = 1.0 / float(np.median(times))
+    return {
+        "metric": "lv_learn_theta_elbo_grad_steps_per_sec_per_chip",
+        "value": round(prod_sps, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(prod_sps / ref_sps, 3),
+        "baseline_steps_per_sec": round(ref_sps, 3),
+        "config": f"p={p_val}, kext={eng.spec.kernel_ext}, "
+                  f"{num_series} series, aligned+stacked+bf16, "
+                  f"epoch-scanned ({per_epoch} steps/dispatch)",
+        "baseline_loop_shape": "per-batch dispatch + per-step loss fetch "
+                               "(..._learn_theta.py:623-707 tf.data loop)",
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--num-series", type=int, default=256)
+    ap.add_argument("--p", type=int, default=128)
+    args = ap.parse_args(argv)
+
+    from viforssms_tpu.core.platform import apply_platform_env
+
+    apply_platform_env()
+    r = measure(num_series=args.num_series, p_val=args.p, epochs=args.epochs)
+    print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
