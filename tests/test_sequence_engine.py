@@ -200,3 +200,27 @@ def test_derived_data_pins_gather_windows_and_raw_arrays():
     # x0 edge state == the shift table's first column (window-0 pinning)
     np.testing.assert_allclose(np.asarray(eng2.x0),
                                np.asarray(tables2.shift)[:, 0], rtol=0)
+
+
+def test_sequence_iwae_bound_tightens():
+    """iw_k on the sequence engine: same draws -> the per-group IWAE bound
+    dominates the mean ELBO deterministically (log-mean-exp >= mean), and a
+    train step runs finite. Full-path particles are whole-series importance
+    weights by construction, so no window restriction applies."""
+    import dataclasses
+
+    eng, _ = _sv_engine(None)
+    eng_iw = dataclasses.replace(eng, iw_k=4)
+    state = eng.init(jax.random.key(0))
+    key = jax.random.key(5)
+    loss_elbo, _ = eng._loss(state.params, key)
+    loss_iwae, _ = eng_iw._loss(state.params, key)
+    # identical key path => identical theta/noise draws; Jensen gives
+    # IWAE bound >= mean ELBO, i.e. loss_iwae <= loss_elbo
+    assert float(loss_iwae) <= float(loss_elbo) + 1e-5, (
+        float(loss_iwae), float(loss_elbo))
+    st2, m = eng_iw.train_step(state)
+    assert np.isfinite(float(m.elbo))
+
+    with pytest.raises(ValueError):
+        dataclasses.replace(eng, iw_k=3)  # 3 does not divide p=8

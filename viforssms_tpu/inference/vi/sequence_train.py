@@ -304,6 +304,12 @@ class SequenceVIEngine:
     use_norm: bool = False
     donate: bool = True
     matmul_precision: Any = None
+    # IWAE training (Burda et al. 2016): every full-path particle's ELBO is a
+    # complete log importance weight of the joint (theta, x_{1:T}) — the
+    # windowed engine's whole-series restriction is satisfied by
+    # construction here — so groups of K particles maximize the tighter
+    # log(1/K sum w_k) bound. 0/1 = standard ELBO.
+    iw_k: int = 0
 
     def __post_init__(self):
         from viforssms_tpu.inference.vi.adamax import adamax, clipped_adamax
@@ -323,6 +329,8 @@ class SequenceVIEngine:
             f"{n_seq} sequence shards (even chunks for 2-D interleave)")
         assert cfg.p % self.mesh.shape[self.particle_axis] == 0, (
             cfg.p, self.mesh.shape)
+        if self.iw_k > 1 and cfg.p % self.iw_k:
+            raise ValueError(f"iw_k={self.iw_k} must divide p={cfg.p}")
         self.flow = NMAFlowStack(
             network_dims=tuple(cfg.flow.network_dims),
             kernel_len=cfg.flow.kernel_len,
@@ -434,6 +442,28 @@ class SequenceVIEngine:
         theta, theta_lq, prior_lp = self._theta(params, k_t)
         t = self._terms(params, k_p, theta)
         elbo = t.elbo + prior_lp - theta_lq
+        if self.iw_k > 1:
+            # per-group IWAE bound over full-path importance weights; the
+            # nan-mask drops non-finite members from the group (same
+            # reasoning as the windowed engine's iw_k path)
+            g = elbo.reshape(-1, self.iw_k)
+            if self.cfg.train.nan_mask_loss:
+                finite = jnp.isfinite(g)
+                n_ok = jnp.sum(finite, axis=1)
+                g = jnp.where(finite, g, -jnp.inf)
+                bound = jax.nn.logsumexp(g, axis=1) - jnp.log(
+                    jnp.maximum(n_ok, 1).astype(elbo.dtype))
+                bound = jnp.where(n_ok > 0, bound, jnp.zeros_like(bound))
+            else:
+                bound = jax.nn.logsumexp(g, axis=1) - jnp.log(float(self.iw_k))
+            loss = -jnp.mean(bound)
+            metrics = StepMetrics(
+                elbo=-loss, sde_lp=jnp.mean(t.sde_lp),
+                obs_lp=jnp.mean(t.obs_lp), path_lq=jnp.mean(t.path_lq),
+                theta_lq=jnp.mean(theta_lq), prior_lp=jnp.mean(prior_lp),
+                grad_norm=jnp.zeros(()),
+            )
+            return loss, metrics
         if self.cfg.train.nan_mask_loss:
             elbo = jnp.where(jnp.isnan(elbo), jnp.zeros_like(elbo), elbo)
         loss = -jnp.mean(elbo)
@@ -570,7 +600,7 @@ class SequenceVIEngine:
             mesh=mesh, fix_theta_value=eng.fix_theta_value,
             theta_base_loc=eng.theta_base_loc,
             theta_base_scale=eng.theta_base_scale, use_norm=eng.use_norm,
-            matmul_precision=eng.matmul_precision,
+            matmul_precision=eng.matmul_precision, iw_k=eng.iw_k,
         )
         kw.update(overrides)
         return cls(**kw)
