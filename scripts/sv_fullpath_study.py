@@ -62,6 +62,15 @@ def main():
                          "the windowed checkpoint")
     ap.add_argument("--p", type=int, default=0,
                     help="override particle count for the fine-tune")
+    ap.add_argument("--iw-k", type=int, default=0,
+                    help="fine-tune the IWAE bound over full-path weights")
+    ap.add_argument("--tag", default="sv_fullpath",
+                    help="output config dir / json name")
+    ap.add_argument("--warm-ckpt", default=None,
+                    help="warm-start checkpoint dir holding a FULL-PATH "
+                         "TrainState (e.g. validation/sv_fullpath/ckpt); "
+                         "default warm-starts from the windowed "
+                         "validation/sv/ckpt")
     args = ap.parse_args()
 
     from viforssms_tpu.core.platform import apply_platform_env
@@ -78,11 +87,11 @@ def main():
     gold, gold_file = _load_gold()
 
     weng, info = build_sv_dense(sv_file=os.path.join(_dat_dir(), "SV.dat"))
-    overrides = {}
+    overrides = {"iw_k": args.iw_k}
     if args.p:
         overrides["cfg"] = dataclasses.replace(weng.cfg, p=args.p)
     eng = SequenceVIEngine.from_windowed(weng, **overrides)  # 1x1 mesh
-    cfg_dir = os.path.join(VAL_DIR, "sv_fullpath")
+    cfg_dir = os.path.join(VAL_DIR, args.tag)
     os.makedirs(cfg_dir, exist_ok=True)
     ckpt = Checkpointer(os.path.join(cfg_dir, "ckpt"))
     meta_path = os.path.join(cfg_dir, "fit_meta.json")
@@ -103,6 +112,16 @@ def main():
         if args.cold:
             state = eng.pretrain(state, num_steps=args.pretrain,
                                  scan_chunk=50)
+        elif args.warm_ckpt:
+            # warm start from a FULL-PATH TrainState (e.g. a previous
+            # fine-tune's checkpoint)
+            wstate = Checkpointer(args.warm_ckpt).restore(
+                eng.init(jax.random.key(2)))
+            assert wstate is not None and int(wstate.step) > 0, args.warm_ckpt
+            print(f"warm start from full-path ckpt step {int(wstate.step)}",
+                  flush=True)
+            state = state._replace(params=wstate.params,
+                                   opt_state=eng.opt.init(wstate.params))
         else:
             # warm start: converged windowed params drop into the full-path
             # engine (same flow/theta family); optimizer state restarts
@@ -137,21 +156,23 @@ def main():
 
     elbo, se = eng.estimate_elbo(state.params, jax.random.key(45), 10)
     out = {
-        "config": "sv_fullpath",
+        "config": args.tag,
         "gold_standard": f"same cached joint NUTS as validation/sv.json "
                          f"({gold_file})",
-        "protocol": ("cold" if args.cold else
-                     "warm start from converged windowed checkpoint + "
-                     "exact full-path fine-tune"),
+        "protocol": (("cold" if args.cold else
+                      f"warm start from "
+                      f"{args.warm_ckpt or 'converged windowed checkpoint'} + "
+                      f"exact full-path fine-tune")
+                     + (f", IWAE k={args.iw_k}" if args.iw_k > 1 else "")),
         "vi_steps": args.steps,
         "elbo_fullpath": [elbo, se],
         "theta": theta,
         "paths": paths,
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
-    with open(os.path.join(VAL_DIR, "sv_fullpath.json"), "w") as f:
+    with open(os.path.join(VAL_DIR, f"{args.tag}.json"), "w") as f:
         json.dump(out, f, indent=1)
-    print("saved validation/sv_fullpath.json", flush=True)
+    print(f"saved validation/{args.tag}.json", flush=True)
     for i, n in enumerate(theta["names"]):
         print(f"{n}: vi {theta['vi_mean'][i]:.3f}±{theta['vi_sd'][i]:.3f} "
               f"gold {theta['gold_mean'][i]:.3f}±{theta['gold_sd'][i]:.3f} "

@@ -607,12 +607,19 @@ class SequenceVIEngine:
 
     def estimate_elbo(self, params, key, num_draws: int = 20):
         """Mean/SE of the full-path ELBO over fresh draws (exact bound — no
-        window subsampling variance)."""
+        window subsampling variance). One jitted program per draw — an eager
+        evaluation would dispatch the theta flow op-by-op, which is minutes
+        per draw over a tunneled backend."""
+        if not hasattr(self, "_elbo_draw"):
+            def draw(params, k1, k2):
+                theta, theta_lq, prior = self._theta(params, k1)
+                t = self._terms(params, k2, theta)
+                return jnp.mean(t.elbo + prior - theta_lq)
+
+            self._elbo_draw = jax.jit(draw)
         vals = []
         for _ in range(num_draws):
             key, k1, k2 = jax.random.split(key, 3)
-            theta, theta_lq, prior = self._theta(params, k1)
-            t = self._terms(params, k2, theta)
-            vals.append(float(jnp.mean(t.elbo + prior - theta_lq)))
+            vals.append(float(self._elbo_draw(params, k1, k2)))
         vals = np.asarray(vals)
         return float(vals.mean()), float(vals.std() / np.sqrt(len(vals)))
