@@ -154,6 +154,32 @@ def main():
     vi_lat = _vi_paths_batched(eng, state.params, jax.random.key(44), 6)[:, 1, :]
     paths = _path_block(vi_lat, gold[:, :, 4:])
 
+    # PSIS-SNIS debiasing: q is the (IWAE-trained) proposal; the weighted
+    # mixture is the posterior estimate (consistent even where q is biased,
+    # k-hat permitting)
+    from viforssms_tpu.inference.quality import snis_moments
+
+    th_d, x_d, lw = eng.importance_draws(state.params, jax.random.key(46),
+                                         num_batches=20)
+    sm, ssd, sse, ps = snis_moments(th_d, lw)
+    gflat = gold[:, :, :4].reshape(-1, 4).astype(np.float64)
+    gmean, gsd = gflat.mean(0), gflat.std(0) + 1e-12
+    lat = x_d[:, 1, :].astype(np.float64)
+    w = np.exp(ps.log_weights)
+    pmean = w @ lat
+    gp = gold[:, :, 4:].reshape(-1, lat.shape[1]).astype(np.float64)
+    gpm, gpsd = gp.mean(0), gp.std(0) + 1e-12
+    pb = np.abs(pmean - gpm) / gpsd
+    snis = {
+        "k_hat": float(ps.k_hat), "psis_ess": float(ps.ess),
+        "num_draws": int(lw.size),
+        "theta_mean": sm.tolist(), "theta_sd": ssd.tolist(),
+        "theta_se_mean": sse.tolist(),
+        "theta_bias_in_posterior_sd": (np.abs(sm - gmean) / gsd).tolist(),
+        "path_bias_sd_median": float(np.median(pb)),
+        "path_bias_sd_max": float(np.max(pb)),
+    }
+
     elbo, se = eng.estimate_elbo(state.params, jax.random.key(45), 10)
     out = {
         "config": args.tag,
@@ -168,6 +194,7 @@ def main():
         "elbo_fullpath": [elbo, se],
         "theta": theta,
         "paths": paths,
+        "snis": snis,
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     with open(os.path.join(VAL_DIR, f"{args.tag}.json"), "w") as f:
@@ -176,7 +203,11 @@ def main():
     for i, n in enumerate(theta["names"]):
         print(f"{n}: vi {theta['vi_mean'][i]:.3f}±{theta['vi_sd'][i]:.3f} "
               f"gold {theta['gold_mean'][i]:.3f}±{theta['gold_sd'][i]:.3f} "
-              f"bias/sd {theta['bias_in_posterior_sd'][i]:.2f}", flush=True)
+              f"bias/sd {theta['bias_in_posterior_sd'][i]:.2f} | snis "
+              f"{snis['theta_mean'][i]:.3f} bias/sd "
+              f"{snis['theta_bias_in_posterior_sd'][i]:.2f}", flush=True)
+    print(f"PSIS k_hat {snis['k_hat']:.3f}, ess {snis['psis_ess']:.0f} "
+          f"of {snis['num_draws']}", flush=True)
 
 
 if __name__ == "__main__":

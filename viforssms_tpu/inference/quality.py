@@ -208,6 +208,37 @@ def iw_elbo(log_weights: np.ndarray, K: int = 0) -> float:
     return float(vals.mean())
 
 
+def snis_moments(values: np.ndarray, log_weights: np.ndarray,
+                 smooth: bool = True):
+    """Self-normalized importance-sampling posterior moments.
+
+    ``values``: (S, d) function values (e.g. theta draws) aligned with
+    ``log_weights`` (S,). Returns ``(mean, sd, se_mean, psis_result)``:
+    the SNIS estimates of posterior mean and sd per column, the delta-method
+    standard error of the mean built from the PSIS effective sample size
+    (Owen 2013 ch. 9), and the PSIS diagnostics (k-hat decides whether the
+    estimate is trustworthy: < 0.7 per Yao et al. 2018).
+
+    This is the debiasing step after IWAE training: q is the proposal, the
+    weighted mixture is the posterior estimate — consistent as S grows even
+    when q itself is biased/underdispersed, provided the tail is integrable
+    (finite k-hat < 1)."""
+    v = np.asarray(values, np.float64)
+    if v.ndim == 1:
+        v = v[:, None]
+    ps = psis(log_weights)
+    lw = ps.log_weights if smooth else (
+        np.asarray(log_weights, np.float64)
+        - _logsumexp(np.asarray(log_weights, np.float64)))
+    w = np.exp(lw)                          # normalized
+    mean = w @ v
+    var = w @ (v - mean) ** 2
+    sd = np.sqrt(np.maximum(var, 0.0))
+    ess = max(ps.ess if smooth else 1.0 / float(np.sum(w * w)), 1.0)
+    se_mean = sd / np.sqrt(ess)
+    return mean, sd, se_mean, ps
+
+
 def sir_resample(draws: np.ndarray, log_weights: np.ndarray, key,
                  num_samples: int, smooth: bool = True) -> np.ndarray:
     """Sampling-importance-resampling: debiased posterior draws.

@@ -605,6 +605,33 @@ class SequenceVIEngine:
         kw.update(overrides)
         return cls(**kw)
 
+    def importance_draws(self, params, key, num_batches: int = 8):
+        """(theta, x, log_w) for ``num_batches * p`` joint draws.
+
+        Every full-path particle is an exact importance draw of the joint
+        (theta, x_{1:T}): ``log w = log p(y, x, theta) - log q(x, theta)``
+        is the per-particle full-path ELBO including the theta terms — the
+        sequence-engine counterpart of ``inference.quality.
+        log_importance_weights`` (which serves the windowed whole-series
+        regimes). Feed to ``quality.psis`` / ``quality.snis_moments`` for
+        PSIS-smoothed posterior estimates and the k-hat reliability flag."""
+        if not hasattr(self, "_iw_draw"):
+            def draw(params, k1, k2):
+                theta, theta_lq, prior = self._theta(params, k1)
+                t = self._terms(params, k2, theta)
+                return theta, t.x, t.elbo + prior - theta_lq
+
+            self._iw_draw = jax.jit(draw)
+        thetas, xs, lws = [], [], []
+        for _ in range(num_batches):
+            key, k1, k2 = jax.random.split(key, 3)
+            th, x, lw = self._iw_draw(params, k1, k2)
+            thetas.append(np.asarray(th))
+            xs.append(np.asarray(x))
+            lws.append(np.asarray(lw, np.float64))
+        return (np.concatenate(thetas), np.concatenate(xs),
+                np.concatenate(lws))
+
     def estimate_elbo(self, params, key, num_draws: int = 20):
         """Mean/SE of the full-path ELBO over fresh draws (exact bound — no
         window subsampling variance). One jitted program per draw — an eager
