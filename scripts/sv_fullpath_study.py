@@ -64,6 +64,11 @@ def main():
                     help="override particle count for the fine-tune")
     ap.add_argument("--iw-k", type=int, default=0,
                     help="fine-tune the IWAE bound over full-path weights")
+    ap.add_argument("--no-flows", type=int, default=0,
+                    help="override flow count (family-capacity study; "
+                         "forces --cold: params no longer match)")
+    ap.add_argument("--net-width", type=int, default=0,
+                    help="override conv-tower width (family-capacity study)")
     ap.add_argument("--tag", default="sv_fullpath",
                     help="output config dir / json name")
     ap.add_argument("--warm-ckpt", default=None,
@@ -86,7 +91,15 @@ def main():
 
     gold, gold_file = _load_gold()
 
-    weng, info = build_sv_dense(sv_file=os.path.join(_dat_dir(), "SV.dat"))
+    builder_kw = {}
+    if args.no_flows:
+        builder_kw["no_flows"] = args.no_flows
+    if args.net_width:
+        builder_kw["net_width"] = args.net_width
+    if builder_kw:
+        args.cold = True  # widened family: windowed params no longer fit
+    weng, info = build_sv_dense(sv_file=os.path.join(_dat_dir(), "SV.dat"),
+                                **builder_kw)
     overrides = {"iw_k": args.iw_k}
     if args.p:
         overrides["cfg"] = dataclasses.replace(weng.cfg, p=args.p)

@@ -201,9 +201,12 @@ def run_lv_partial(dat_dir="dat", out_dir="out/lv_partial", steps=20_000,
                    truth_theta=info["theta_prior_mean"], resume=resume)
 
 
-def build_sv_dense(sv_file="dat/SV.dat"):
+def build_sv_dense(sv_file="dat/SV.dat", no_flows=5, net_width=50,
+                   learn_rate=1e-4):
     """Engine + data for SV on real returns at the reference configuration
-    (SV_dense.py:404-418)."""
+    (SV_dense.py:404-418). ``no_flows``/``net_width`` widen the variational
+    family beyond the reference's (family-capacity studies; tables are
+    rebuilt so the context padding matches)."""
     from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
     from viforssms_tpu.data.features import sv_tables
     from viforssms_tpu.inference.vi.train import VIEngine
@@ -211,13 +214,13 @@ def build_sv_dense(sv_file="dat/SV.dat"):
 
     from viforssms_tpu.native import loadtxt as _loadtxt
     obs = _loadtxt(sv_file).astype(np.float32)[300:]
-    p, kernel_len, batch_dims, no_flows, fw = 200, 50, 52, 5, 5
+    p, kernel_len, batch_dims, fw = 200, 50, 52, 5
     target = len(obs) - 1
     cfg = VIConfig(
         p=p, batch_dims=batch_dims, T=target,
         flow=FlowConfig(kernel_len=kernel_len, no_flows=no_flows,
-                        network_dims=(50,) * 5, feat_window=fw),
-        train=TrainConfig(learn_rate=1e-4, grad_clip=1e7),
+                        network_dims=(net_width,) * 5, feat_window=fw),
+        train=TrainConfig(learn_rate=learn_rate, grad_clip=1e7),
         theta_num_bijectors=4,
     )
     tables, spec = sv_tables(obs, kernel_len, no_flows, fw, batch_dims, x0=-8.5)

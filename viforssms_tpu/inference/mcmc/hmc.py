@@ -49,6 +49,12 @@ def da_init(step_size: float) -> DualAveragingState:
 
 def da_update(state: DualAveragingState, accept_prob, target=0.8,
               gamma=0.05, t0=10.0, kappa=0.75) -> DualAveragingState:
+    # A NaN Hamiltonian (f32 overflow on a too-large step) yields a NaN
+    # accept statistic; un-guarded it poisons h_avg -> log_step = NaN for
+    # every subsequent iteration and the sampler never recovers. Treat
+    # non-finite acceptance as 0 (maximal "too big" signal): the step
+    # shrinks and adaptation proceeds.
+    accept_prob = jnp.where(jnp.isfinite(accept_prob), accept_prob, 0.0)
     t = state.t + 1.0
     h_avg = (1.0 - 1.0 / (t + t0)) * state.h_avg + (target - accept_prob) / (t + t0)
     log_step = state.mu - jnp.sqrt(t) / gamma * h_avg
