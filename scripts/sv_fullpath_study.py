@@ -101,8 +101,18 @@ def main():
     weng, info = build_sv_dense(sv_file=os.path.join(_dat_dir(), "SV.dat"),
                                 **builder_kw)
     overrides = {"iw_k": args.iw_k}
+    cfg = weng.cfg
     if args.p:
-        overrides["cfg"] = dataclasses.replace(weng.cfg, p=args.p)
+        cfg = dataclasses.replace(cfg, p=args.p)
+    if args.cold:
+        # cold full-path training of a wide family transits unstable
+        # regions after the pretrain handoff; mask non-finite particles
+        # (the reference's own device, ..._learn_theta.py:482) instead of
+        # letting one NaN particle kill the mean loss irrecoverably
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, nan_mask_loss=True))
+    if cfg is not weng.cfg:
+        overrides["cfg"] = cfg
     eng = SequenceVIEngine.from_windowed(weng, **overrides)  # 1x1 mesh
     cfg_dir = os.path.join(VAL_DIR, args.tag)
     os.makedirs(cfg_dir, exist_ok=True)
