@@ -310,6 +310,14 @@ class SequenceVIEngine:
     # construction here — so groups of K particles maximize the tighter
     # log(1/K sum w_k) bound. 0/1 = standard ELBO.
     iw_k: int = 0
+    # Skip parameter updates whose gradients are non-finite (optax.
+    # apply_if_finite). Cold full-path training can produce a single inf
+    # gradient from an extreme-tail particle (a full-path SDE term is ~T/b
+    # windowed terms in one number); the global-norm clip then yields
+    # NaN * params and the run is dead — nan_mask_loss cannot catch a
+    # FINITE-but-extreme ELBO whose gradient overflows. Changes the
+    # optimizer-state pytree (not checkpoint-compatible with False).
+    skip_nonfinite_updates: bool = False
 
     def __post_init__(self):
         from viforssms_tpu.inference.vi.adamax import adamax, clipped_adamax
@@ -359,6 +367,9 @@ class SequenceVIEngine:
             beta2=cfg.train.beta2,
             grad_clip=cfg.train.grad_clip,
         )
+        if self.skip_nonfinite_updates:
+            self.opt = optax.apply_if_finite(self.opt,
+                                             max_consecutive_errors=10_000)
         self.pre_opt = optax.flatten(adamax(
             learning_rate=cfg.train.pre_train_lr, beta1=cfg.train.pre_train_beta1
         ))
