@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--cold", action="store_true")
     ap.add_argument("--tag", default="fhn_fullpath",
                     help="output config dir / json name")
+    ap.add_argument("--warm-ckpt", default=None,
+                    help="warm-start from a FULL-PATH TrainState checkpoint "
+                         "dir (e.g. a previous fine-tune) instead of the "
+                         "windowed validation/fhn/ckpt")
     args = ap.parse_args()
 
     from viforssms_tpu.core.platform import apply_platform_env
@@ -87,6 +91,14 @@ def main():
         if args.cold:
             state = eng.pretrain(state, num_steps=1000, finite_gate=1000,
                                  scan_chunk=50)
+        elif args.warm_ckpt:
+            wstate = Checkpointer(args.warm_ckpt).restore(
+                eng.init(jax.random.key(2)))
+            assert wstate is not None and int(wstate.step) > 0, args.warm_ckpt
+            print(f"warm start from full-path ckpt step {int(wstate.step)}",
+                  flush=True)
+            state = state._replace(params=wstate.params,
+                                   opt_state=eng.opt.init(wstate.params))
         else:
             wstate = Checkpointer(os.path.join(VAL_DIR, "fhn", "ckpt")).restore(
                 weng.init(jax.random.key(2)))

@@ -60,6 +60,11 @@ def main():
     ap.add_argument("--cold", action="store_true",
                     help="train from scratch instead of warm-starting from "
                          "the windowed checkpoint")
+    ap.add_argument("--windowed-steps", type=int, default=0,
+                    help="cold protocol: first train the (possibly widened) "
+                         "family WINDOWED for this many steps — the stable "
+                         "regime (badness localizes to one window) — then "
+                         "warm-start the full-path fine-tune from it")
     ap.add_argument("--p", type=int, default=0,
                     help="override particle count for the fine-tune")
     ap.add_argument("--iw-k", type=int, default=0,
@@ -135,7 +140,30 @@ def main():
               flush=True)
     else:
         fit_done, deficit = 0, args.steps
-        if args.cold:
+        if args.cold and args.windowed_steps:
+            # stable cold protocol: windowed training first (one bad window
+            # cannot -inf a whole-path particle), then warm-start full-path
+            wdir = os.path.join(cfg_dir, "windowed_ckpt")
+            wckpt = Checkpointer(wdir)
+            wstate = weng.init(jax.random.key(2))
+            restored_w = wckpt.restore(wstate)
+            if restored_w is not None and int(restored_w.step) > 0:
+                wstate = restored_w
+                print(f"windowed stage restored at step {int(wstate.step)}",
+                      flush=True)
+            else:
+                t0w = time.time()
+                wstate = weng.pretrain(wstate, num_steps=args.pretrain,
+                                       scan_chunk=50)
+                wstate, wm = weng.fit(wstate, num_steps=args.windowed_steps,
+                                      scan_chunk=500)
+                wckpt.save(wstate)
+                print(f"windowed stage: {args.windowed_steps} steps in "
+                      f"{time.time() - t0w:.0f}s, elbo {float(wm.elbo):.4g}",
+                      flush=True)
+            state = state._replace(params=wstate.params,
+                                   opt_state=eng.opt.init(wstate.params))
+        elif args.cold:
             state = eng.pretrain(state, num_steps=args.pretrain,
                                  scan_chunk=50)
         elif args.warm_ckpt:

@@ -1029,8 +1029,18 @@ def validate_lv_learn_theta(fast=False):
 
     n_mh2 = 800 if fast else 4_000
     warm2 = 300 if fast else 1_200
-    theta0s = u_vi[None, :] + 0.05 * jax.random.normal(
-        jax.random.key(90), (C, 3))
+    # chains 0-1 start at the VI posterior; chain 2 starts at the
+    # GENERATING rates — VI-independent (ADVICE r2: break the circularity
+    # of all-VI inits) but outside the prior's population-collapse region
+    # where the SMC evidence freezes pseudo-marginal chains (accept=0,
+    # measured r2). Cross-init R-hat then actually tests agreement.
+    u_truth = sp.inverse(jnp.asarray(info["rates_true"], jnp.float32))
+    theta0s = jnp.concatenate([
+        u_vi[None, :] + 0.05 * jax.random.normal(
+            jax.random.key(90), (C, 3)),
+        u_truth[None, :] + 0.05 * jax.random.normal(
+            jax.random.key(92), (1, 3)),
+    ])
     def _tempered_gold():
         t0 = time.time()
         res = pmmh_chains(jax.random.key(91), log_ev_mean, log_prior_u,
