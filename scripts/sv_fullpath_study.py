@@ -110,15 +110,18 @@ def main():
     if args.p:
         cfg = dataclasses.replace(cfg, p=args.p)
     if args.cold:
-        # cold full-path training transits unstable regions after the
-        # pretrain handoff: mask non-finite particles in the loss
-        # (..._learn_theta.py:482) AND skip updates whose gradients are
-        # non-finite (a FINITE-but-extreme full-path ELBO can still
-        # overflow in the backward pass; the global-norm clip then NaNs
-        # every parameter in one step — measured, validation r3)
+        # cold training of a widened family transits unstable regions:
+        # mask non-finite particles in the loss (..._learn_theta.py:482)
+        # AND skip updates whose gradients are non-finite (a FINITE-but-
+        # extreme ELBO can still overflow in the backward pass; the
+        # global-norm clip then NaNs every parameter in one step —
+        # measured, r3). Applied to BOTH stages: the windowed wide stage
+        # NaN'd at 60k steps without it.
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, nan_mask_loss=True))
         overrides["skip_nonfinite_updates"] = True
+        weng = dataclasses.replace(weng, cfg=cfg,
+                                   skip_nonfinite_updates=True)
     if cfg is not weng.cfg:
         overrides["cfg"] = cfg
     eng = SequenceVIEngine.from_windowed(weng, **overrides)  # 1x1 mesh

@@ -91,6 +91,13 @@ class VIEngine:
     # weight — one window spanning the whole series, or series-mode tables
     # (inference/quality.py has the same requirement). 0/1 = standard ELBO.
     iw_k: int = 0
+    # Skip updates with non-finite gradients (optax.apply_if_finite): a
+    # FINITE-but-extreme ELBO can overflow in the backward pass, after which
+    # the global-norm clip NaNs every parameter — nan_mask_loss cannot catch
+    # it. Off by default (changes the optimizer-state pytree — not
+    # checkpoint-compatible with existing states); used for cold wide-family
+    # training (sv_fullpath_study --cold).
+    skip_nonfinite_updates: bool = False
 
     def __post_init__(self):
         cfg = self.cfg
@@ -129,6 +136,9 @@ class VIEngine:
             beta2=cfg.train.beta2,
             grad_clip=cfg.train.grad_clip,
         )
+        if self.skip_nonfinite_updates:
+            self.opt = optax.apply_if_finite(self.opt,
+                                             max_consecutive_errors=10_000)
         # separate optimizer instance for pre-training (AR.py:201-202);
         # flattened for the same per-leaf-op reason as clipped_adamax
         self.pre_opt = optax.flatten(adamax(
