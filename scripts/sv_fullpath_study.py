@@ -118,7 +118,11 @@ def main():
         # measured, r3). Applied to BOTH stages: the windowed wide stage
         # NaN'd at 60k steps without it.
         cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, nan_mask_loss=True))
+            cfg,
+            train=dataclasses.replace(cfg.train, nan_mask_loss=True),
+            # near-identity init: a deep/wide lecun-init stack compounds to
+            # |x| ~ 200 paths at init (measured) — unrecoverable densities
+            flow=dataclasses.replace(cfg.flow, out_init_zero=True))
         overrides["skip_nonfinite_updates"] = True
         weng = dataclasses.replace(weng, cfg=cfg,
                                    skip_nonfinite_updates=True)

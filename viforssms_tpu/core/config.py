@@ -44,6 +44,11 @@ class FlowConfig:
     # equivalent to the reference's transposed projection and 1.07-2.1x
     # faster. Set False (CLI: --transposed) for reference-parity runs.
     aligned_feats_2d: bool = True
+    # Zero-init each flow's final (mu, sigma) layer (Glow/IAF near-identity
+    # init): required for stable cold training of deep/wide stacks (>5
+    # flows), whose lecun-init outputs otherwise compound into exploding
+    # paths. False = reference init parity (flows/nma.py ConvIAF).
+    out_init_zero: bool = False
     # Pallas whole-tail megakernel ("off" | "on" | "interpret"); requires the
     # 1-D or aligned-2-D feature path (ops/fused_flow.py).
     fused_tail: str = "off"

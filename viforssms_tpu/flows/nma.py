@@ -145,6 +145,12 @@ class ConvIAF(nn.Module):
     # layout; ops.fused_flow.tail_params_from_xla converts checkpoints.
     fused_tail: str = "off"  # "off" | "on" | "interpret"
     conv_mode: str = "conv"  # "conv" | "im2col" | "hybrid" (see CausalConvMM/-Hybrid)
+    # Zero-init the final (mu, sigma) layer — the Glow/IAF near-identity
+    # trick: every flow starts at mu=0, sigma=softplus(0)+eps (~0.69), so
+    # deep/wide stacks don't compound random init scales into exploding
+    # paths (8 lecun-init flows reached |x| ~ 200 at init — measured, r3).
+    # Default False = reference init parity.
+    out_init_zero: bool = False
     # Activation dtype for the conv/tower compute ("float32" | "bfloat16").
     # Params stay f32; mu/sigma and all density math are cast back to f32.
     # bf16 halves the bytes moved by the layout copies between the conv
@@ -231,13 +237,15 @@ class ConvIAF(nn.Module):
             if self.use_norm:
                 h = ScaleOffset(name=f"norm_{i}")(h)
 
+        out_kw = ({"kernel_init": nn.initializers.zeros}
+                  if self.out_init_zero else {})
         if self.flow_dims == 1:
-            out = nn.Dense(2, name="out", dtype=cd)(h).astype(jnp.float32)  # (p, L-K, 2)
+            out = nn.Dense(2, name="out", dtype=cd, **out_kw)(h).astype(jnp.float32)  # (p, L-K, 2)
             mu = out[:, :, 0]
             sigma = jax.nn.softplus(out[:, :, 1]) + self.sigma_eps
         else:
             # stride-2 output conv == dense on even positions (lotka_volterra_partial.py:97)
-            out = nn.Dense(2, name="out", dtype=cd)(h[:, ::2, :]).astype(jnp.float32)  # (p, M, 2)
+            out = nn.Dense(2, name="out", dtype=cd, **out_kw)(h[:, ::2, :]).astype(jnp.float32)  # (p, M, 2)
             mu_t, sigma_t = out[:, :, 0], out[:, :, 1]
             if self.mu_softplus:
                 id_mu = jnp.ones_like(mu_t)  # ..._learn_theta.py:161
@@ -278,6 +286,7 @@ class NMAFlowStack(nn.Module):
     fused_tail: str = "off"      # see ConvIAF.fused_tail
     conv_mode: str = "conv"      # see ConvIAF.conv_mode
     compute_dtype: str = "float32"  # see ConvIAF.compute_dtype
+    out_init_zero: bool = False  # see ConvIAF.out_init_zero
     # Batch the per-flow feature MLPs into one einsum chain over a leading
     # flow axis (1-D / aligned-2-D paths only). The MLPs are pointwise over
     # time, so MLP_i(ts_feats[:, iK:]) == MLP_i(ts_feats)[:, iK:] — compute
@@ -342,6 +351,7 @@ class NMAFlowStack(nn.Module):
                 fused_tail=self.fused_tail,
                 conv_mode=self.conv_mode,
                 compute_dtype=self.compute_dtype,
+                out_init_zero=self.out_init_zero,
                 precomputed_feats=embs is not None,
                 name=f"flow_{i}",
             )(x, feats, theta)

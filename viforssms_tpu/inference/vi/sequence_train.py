@@ -73,6 +73,7 @@ def _local_flow(flow: NMAFlowStack, local: int) -> NMAFlowStack:
         mu_softplus=flow.mu_softplus,
         sigma_eps=flow.sigma_eps,
         aligned_feats=flow.aligned_feats,
+        out_init_zero=flow.out_init_zero,
         fused_tail=flow.fused_tail,
         conv_mode=flow.conv_mode,
         compute_dtype=flow.compute_dtype,
@@ -349,6 +350,7 @@ class SequenceVIEngine:
             mu_softplus=cfg.flow.mu_softplus,
             sigma_eps=cfg.flow.sigma_eps,
             aligned_feats=True,  # transposed mode cannot shard (flows/sharded.py)
+            out_init_zero=getattr(cfg.flow, "out_init_zero", False),
             conv_mode=getattr(cfg.flow, "conv_mode", "conv"),
             compute_dtype=getattr(cfg.flow, "compute_dtype", "float32"),
             remat=cfg.flow.remat,

@@ -111,6 +111,7 @@ class VIEngine:
             mu_softplus=cfg.flow.mu_softplus,
             sigma_eps=cfg.flow.sigma_eps,
             aligned_feats=cfg.flow.aligned_feats_2d,
+            out_init_zero=getattr(cfg.flow, "out_init_zero", False),
             fused_tail=cfg.flow.fused_tail,
             conv_mode=getattr(cfg.flow, "conv_mode", "conv"),
             compute_dtype=getattr(cfg.flow, "compute_dtype", "float32"),
