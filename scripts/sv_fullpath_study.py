@@ -101,7 +101,7 @@ def main():
         builder_kw["no_flows"] = args.no_flows
     if args.net_width:
         builder_kw["net_width"] = args.net_width
-    if builder_kw:
+    if builder_kw and not args.warm_ckpt:
         args.cold = True  # widened family: windowed params no longer fit
     weng, info = build_sv_dense(sv_file=os.path.join(_dat_dir(), "SV.dat"),
                                 **builder_kw)
@@ -109,7 +109,10 @@ def main():
     cfg = weng.cfg
     if args.p:
         cfg = dataclasses.replace(cfg, p=args.p)
-    if args.cold:
+    if args.cold or (builder_kw and args.warm_ckpt):
+        # (also for wide warm-starts: the saved wide checkpoint was written
+        # with the wrapped optimizer state, so the restore template must
+        # match — and the guards cost nothing on a sane trajectory)
         # cold training of a widened family transits unstable regions:
         # mask non-finite particles in the loss (..._learn_theta.py:482)
         # AND skip updates whose gradients are non-finite (a FINITE-but-
