@@ -54,11 +54,15 @@ def main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the batched learn-theta bench "
+                         "(scripts/bench_learn_theta.py); by default both "
+                         "metrics are printed, with the headline LV-partial "
+                         "line LAST on stdout for the driver's "
+                         "single-line parse")
     ap.add_argument("--all", action="store_true",
-                    help="also run the batched learn-theta bench "
-                         "(scripts/bench_learn_theta.py) before the headline "
-                         "LV-partial line — the headline stays LAST on "
-                         "stdout for the driver's single-line parse")
+                    help="(kept for compatibility; both benches are now the "
+                         "default)")
     args = ap.parse_args(argv)
 
     import jax
@@ -67,12 +71,15 @@ def main(argv=None):
 
     apply_platform_env()
 
-    if args.all:
+    if not args.headline_only:
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "scripts"))
-        import bench_learn_theta
+        try:
+            import bench_learn_theta
 
-        print(json.dumps(bench_learn_theta.measure()), flush=True)
+            print(json.dumps(bench_learn_theta.measure()), flush=True)
+        except Exception as e:  # the headline line must still land last
+            print(f"learn-theta bench failed: {e!r}", file=sys.stderr)
 
     from __graft_entry__ import _lv_engine
 
