@@ -815,7 +815,8 @@ def validate_sv(fast=False, steps=None, n_s=None, n_w=None, chains=None):
         "criteria": crit,
         "pass": ok,
         "pass_unbiased": ok_unbiased,
-        "floor": ({"alpha_star": floor["alpha_star"],
+        "floor": ({"alpha_star": floor.get("translation_probe", {})
+                   .get("joint_alpha_star"),
                    "elbo_vi": floor["elbo_vi"],
                    "elbo_gauss_gold_mean": floor["elbo_gauss_gold_mean"],
                    "elbo_gauss_vi_mean": floor["elbo_gauss_vi_mean"],
@@ -927,7 +928,8 @@ def validate_fhn(fast=False, T_units=200.0, steps=150_000, n_s=None, n_w=None,
         "criteria": crit,
         "pass": ok,
         "pass_unbiased": ok_unbiased,
-        "floor": ({"alpha_star": floor["alpha_star"],
+        "floor": ({"alpha_star": floor.get("translation_probe", {})
+                   .get("joint_alpha_star"),
                    "elbo_vi": floor["elbo_vi"],
                    "elbo_gauss_gold_mean": floor["elbo_gauss_gold_mean"],
                    "elbo_gauss_vi_mean": floor["elbo_gauss_vi_mean"],
@@ -1287,9 +1289,21 @@ def write_report():
                 f"max-depth-capped fraction/chain = "
                 f"{gr['depth_frac_max_per_chain']}")
             lines.append("")
+        if r.get("floor"):
+            fl = r["floor"]
+            lines.append(
+                f"Objective-floor certificate: translation alpha* = "
+                f"{fl['alpha_star']}, ELBO(q_VI) = {fl['elbo_vi'][0]:.1f} ± "
+                f"{fl['elbo_vi'][1]:.1f} vs gold-moment Gaussian "
+                f"{fl['elbo_gauss_gold_mean']:.1f} — "
+                f"{'CERTIFIED at the objective floor' if fl['floor_certified'] else 'not certified'}")
+            lines.append("")
         if r.get("criteria"):
             lines += [f"Criteria: {r['criteria']}", ""]
-        lines += [f"**verdict: {'PASS' if r.get('pass') else 'FAIL'}**", ""]
+        verdict = "PASS" if r.get("pass") else "FAIL"
+        if r.get("pass") and r.get("pass_unbiased") is False:
+            verdict = "PASS (at objective floor)"
+        lines += [f"**verdict: {verdict}**", ""]
         if r.get("notes"):
             lines += [f"Notes: {r['notes']}", ""]
     out = os.path.join(os.path.dirname(VAL_DIR), "VALIDATION.md")
