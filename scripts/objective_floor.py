@@ -270,24 +270,32 @@ def main():
 
     m_iw = re.search(r"_iw(\d+)", ckpt_src)
     iw_k = int(m_iw.group(1)) if m_iw else 1
+    from scipy.special import logsumexp as _lse
+
+    def _bound_vec(v):
+        """Per-draw (plain) or per-group (IWAE-k) bound contributions of the
+        shifted flow: log q is unchanged at the shifted samples
+        (entropy-invariant translation), so lw_i(a) = log p(z_i + a*d)
+        - log q(z_i); IWAE grouping matches training's reshape(-1, k)."""
+        if iw_k <= 1:
+            return v
+        lw_a = np.where(np.isfinite(v), v, -np.inf) - logq_all
+        return _lse(lw_a.reshape(-1, iw_k), axis=1) - np.log(iw_k)
+
+    bnds = {}          # mask -> list over alpha of per-draw/group bounds
     for mname, mask in masks.items():
         d = (delta * mask)[None, :]
         cs, ses, iws, iw_ses = [], [], [], []
+        bnds[mname] = []
         for a in t_alphas:
             v = _eval_vec((q_vi_all + a * d).astype(np.float32))
+            bnds[mname].append(_bound_vec(v))
             finite = np.isfinite(v)
             cs.append(float(v[finite].mean()))
             ses.append(float(v[finite].std()
                              / np.sqrt(max(finite.sum(), 1))))
             if iw_k > 1:
-                # IWAE-k bound of the SHIFTED flow: log q is unchanged at
-                # the shifted samples (entropy-invariant translation), so
-                # lw_i(a) = log p(z_i + a*d) - log q(z_i); grouping matches
-                # training's reshape(-1, k) over each p-batch in order.
-                lw_a = np.where(np.isfinite(v), v, -np.inf) - logq_all
-                g = lw_a.reshape(-1, iw_k)
-                from scipy.special import logsumexp as _lse
-                bnd = _lse(g, axis=1) - np.log(iw_k)
+                bnd = bnds[mname][-1]
                 iws.append(float(bnd.mean()))
                 iw_ses.append(float(bnd.std() / np.sqrt(len(bnd))))
         translation[mname] = cs
@@ -313,31 +321,40 @@ def main():
     # the production fit's own objective decides: the IWAE-k bound when the
     # checkpoint was IWAE-trained, else the plain ELBO
     sfx = "_iwae" if iw_k > 1 else ""
-    translation["decision_curve"] = "joint/theta_only" + sfx
-    joint = np.asarray(translation["joint" + sfx])
-    joint_se = np.asarray(translation["joint" + sfx + "_se"])
+    translation["decision_curve"] = "theta_only & paired penalty" + sfx
     th = np.asarray(translation["theta_only" + sfx])
     th_se = np.asarray(translation["theta_only" + sfx + "_se"])
     po = np.asarray(translation["path_only" + sfx])
     toward = [i for i, a in enumerate(t_alphas) if a > 0]
     # The validation criterion judges THETA marginals, so the certificate
-    # targets them: (a) a theta-only de-biasing translation never raises
-    # the production objective (peak at alpha <= 0.1, no toward-gold step
-    # wins by 2 SE); (b) the FULLY de-biased joint (alpha=1) is
-    # significantly worse; (c) the flow's bound beats the gold-moment
-    # Gaussian outright. Path-only translation slack is REPORTED (it is
-    # residual path-mean optimization headroom that further fine-tuning
-    # absorbs) but does not rescue a theta bias the objective would rather
-    # remove.
+    # targets them twice over:
+    #   (a) a theta-only de-biasing translation never raises the
+    #       production objective (peak at alpha <= 0.1, no toward-gold
+    #       step wins by 2 SE) — theta is at the objective's optimum GIVEN
+    #       the current paths;
+    #   (b) even GRANTING the paths their translation gain (which may lie
+    #       partly outside the conv family's reach — an arbitrary per-step
+    #       offset is not a constant mu-bias), adding the theta shift on
+    #       top still hurts: the PAIRED per-draw penalty
+    #       bound(path_only) - bound(joint) is positive and significant at
+    #       alpha=1 (common random draws make this difference tight);
+    #   (c) the flow's bound beats the gold-moment Gaussian outright.
     theta_peak = t_alphas[int(np.argmax(th))]
     theta_optimal = (theta_peak <= 0.1 and not any(
         th[i] - th[i0] > 2.0 * (th_se[i] + th_se[i0]) for i in toward))
-    full_debias_worse = (joint[i0] - joint[i1]
-                         > 2.0 * (joint_se[i0] + joint_se[i1]))
+    pen, pen_se = [], []
+    for i in range(len(t_alphas)):
+        dvec = bnds["path_only"][i] - bnds["joint"][i]
+        dvec = dvec[np.isfinite(dvec)]
+        pen.append(float(dvec.mean()))
+        pen_se.append(float(dvec.std() / np.sqrt(max(len(dvec), 1))))
+    translation["theta_penalty_given_path"] = pen
+    translation["theta_penalty_given_path_se"] = pen_se
+    theta_penalized = pen[i1] > 2.0 * pen_se[i1]
     translation["theta_only_peak"] = theta_peak
     translation["path_translation_slack_nats"] = float(
         np.max(po) - po[i0])
-    translation_optimal = bool(theta_optimal and full_debias_worse)
+    translation_optimal = bool(theta_optimal and theta_penalized)
     floor_certified = bool(translation_optimal
                            and elbo_vi >= curve[alphas.index(0.0)])
     out = {

