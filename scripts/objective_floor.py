@@ -165,6 +165,10 @@ def main():
     ap.add_argument("--tag", default=None,
                     help="force a specific validation/<tag>/ckpt as the "
                          "production checkpoint")
+    ap.add_argument("--vi-batches", type=int, default=8,
+                    help="production-posterior draw batches (p draws each); "
+                         "raise for tighter paired-penalty SEs on small-p "
+                         "configs")
     args = ap.parse_args()
 
     from viforssms_tpu.core.platform import apply_platform_env
@@ -195,7 +199,7 @@ def main():
 
     # VI mean from the production posterior (fresh draws, a few batches)
     mus, lws, logps = [q_vi], [lw0], [logp0]
-    for b in range(7):
+    for b in range(args.vi_batches - 1):
         _, q, lw, lp = _parity_check(args.config, eng, state, log_joint,
                                      theta_dim, seed=71 + 2 * b)
         mus.append(q)
