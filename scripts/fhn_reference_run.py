@@ -57,13 +57,22 @@ def main():
     from viforssms_tpu.core.platform import apply_platform_env
 
     apply_platform_env()
+    import dataclasses
+
     import jax
 
     from viforssms_tpu.cli.experiments import build_fitz_nag
     from viforssms_tpu.utils.checkpoint import Checkpointer
 
     t_build = time.time()
-    eng, info = build_fitz_nag(synthetic=True, T=args.T)
+    # normalize_time: at T=1e5 time units the raw absolute-time channel
+    # freezes training from step one (conv outputs ~1e5, SDE density -1e20,
+    # every gradient norm overflows -> the global-norm clip zeroes all
+    # updates; measured, round 4). See lv_tables(time_scale=...).
+    eng, info = build_fitz_nag(synthetic=True, T=args.T, normalize_time=True)
+    # belt+braces at this scale: skip any update whose gradients are
+    # non-finite instead of letting the clip NaN/zero the whole step
+    eng = dataclasses.replace(eng, skip_nonfinite_updates=True)
     target = info["target"]
     print(f"built engine: {target} latent steps x 2 dims "
           f"({time.time() - t_build:.0f}s)", flush=True)
@@ -109,9 +118,10 @@ def main():
         n = min(args.chunk, args.steps - fit_done)
         tc = time.time()
         state, m = eng.fit(state, num_steps=n, scan_chunk=2000)
+        elbo_now = float(m.elbo)  # forces dispatch completion: honest timing
         dt_c = time.time() - tc
         fit_done += n
-        rec = {"fit_steps": fit_done, "elbo": float(m.elbo),
+        rec = {"fit_steps": fit_done, "elbo": elbo_now,
                "sde_lp": float(m.sde_lp), "obs_lp": float(m.obs_lp),
                "path_lq": float(m.path_lq), "grad_norm": float(m.grad_norm),
                "steps_per_s": round(n / dt_c, 1),
@@ -154,6 +164,7 @@ def main():
     out = {
         "config": "fhn_ref",
         "reference": "fitz_nag_NVP.py:453-468 (T=1e5, dt=0.1 -> 1e6 latent steps)",
+        "normalize_time": True,
         "latent_steps": int(target),
         "fit_steps": fit_done,
         "budget": args.steps,

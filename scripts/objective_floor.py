@@ -67,19 +67,22 @@ def _production_engine(cfg, tag=None):
     from viforssms_tpu.inference.vi.sequence_train import SequenceVIEngine
     from viforssms_tpu.utils.checkpoint import Checkpointer
 
+    # checkpoint search order == validate_baseline's judged-artifact order
+    # (ADVICE r3, high: the certificate must be issued for the posterior
+    # validate will judge)
+    from validate_baseline import FHN_PRODUCTION_TAGS, SV_PRODUCTION_TAGS
+
     if cfg == "sv":
         from validate_baseline import _dat_dir
 
         from viforssms_tpu.cli.experiments import build_sv_dense
         weng, info = build_sv_dense(
             sv_file=os.path.join(_dat_dir(), "SV.dat"))
-        tags = ("sv_wide_iw25", "sv_fullpath_iw25", "sv_fullpath_iw8",
-                "sv_fullpath")
+        tags = SV_PRODUCTION_TAGS
     else:
         from viforssms_tpu.cli.experiments import build_fitz_nag
         weng, info = build_fitz_nag(synthetic=True, T=200.0)
-        tags = ("fhn_fullpath_iw25", "fhn_fullpath_iw10", "fhn_fullpath_iw8",
-                "fhn_fullpath")
+        tags = FHN_PRODUCTION_TAGS
     if tag is not None:
         tags = (tag,)
     eng = SequenceVIEngine.from_windowed(weng)
@@ -299,9 +302,19 @@ def main():
             ses.append(float(v[finite].std()
                              / np.sqrt(max(finite.sum(), 1))))
             if iw_k > 1:
+                # a group whose members are ALL non-finite logsumexps to
+                # -inf; filter (as the plain-ELBO path and the paired
+                # penalty do) and record the drop so json stays standard
+                # (ADVICE r3, low)
                 bnd = bnds[mname][-1]
-                iws.append(float(bnd.mean()))
-                iw_ses.append(float(bnd.std() / np.sqrt(len(bnd))))
+                bfin = bnd[np.isfinite(bnd)]
+                iws.append(float(bfin.mean()) if bfin.size else
+                           float(np.finfo(np.float64).min))
+                iw_ses.append(float(bfin.std() / np.sqrt(bfin.size))
+                              if bfin.size else 0.0)
+                translation.setdefault(
+                    mname + "_iwae_dropped_groups", []).append(
+                        int(bnd.size - bfin.size))
         translation[mname] = cs
         translation[mname + "_se"] = ses
         b = int(np.argmax(cs))

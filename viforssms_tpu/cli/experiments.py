@@ -239,9 +239,15 @@ def run_sv_dense(sv_file="dat/SV.dat", out_dir="out/sv_dense", steps=20_000,
 
 
 def build_fitz_nag(dat_dir="dat", synthetic=False, T=100.0, seed=1,
-                   learn_rate=1e-4):
+                   learn_rate=1e-4, normalize_time=False):
     """Engine + data for FHN partial obs at the reference configuration
-    (fitz_nag_NVP.py:453-468); T scales the synthetic series length."""
+    (fitz_nag_NVP.py:453-468); T scales the synthetic series length.
+
+    ``normalize_time`` rescales the absolute-time feature channel to (0, 1]
+    (``lv_tables`` ``time_scale``) — required at the reference's headline
+    T=1e5 where the raw channel freezes training (see lv_tables docstring);
+    changes the feature table, so checkpoints/golds don't transfer across
+    the flag."""
     from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
     from viforssms_tpu.data.features import lv_tables
     from viforssms_tpu.data.io import load_series_2d
@@ -273,11 +279,14 @@ def build_fitz_nag(dat_dir="dat", synthetic=False, T=100.0, seed=1,
     )
     tables, spec = lv_tables(obs, obs_bin, tt, kernel_len, no_flows, fw,
                              batch_dims, x0=x0, dt=dt,
-                             context_flag_in_pad=True, time_till_end=-dt)
+                             context_flag_in_pad=True, time_till_end=-dt,
+                             time_scale=1.0 / (target * dt) if normalize_time
+                             else 1.0)
     eng = VIEngine(model=FitzHughNagumo(dt=dt), cfg=cfg, tables=tables, spec=spec,
                    use_norm=True)
     info = {"obs": obs, "obs_bin": obs_bin, "time_till": tt, "x0": x0,
-            "theta_true": theta_true, "dt": dt, "target": target}
+            "theta_true": theta_true, "dt": dt, "target": target,
+            "normalize_time": normalize_time}
     return eng, info
 
 

@@ -163,12 +163,23 @@ def ar1_tables(obs, obs_bin, time_till, kernel_len, no_flows, feat_window,
 
 
 def lv_tables(obs2, obs_bin2, time_till2, kernel_len, no_flows, feat_window,
-              batch_dims, x0, dt, context_flag_in_pad=False, time_till_end=0.0):
+              batch_dims, x0, dt, context_flag_in_pad=False, time_till_end=0.0,
+              time_scale=1.0):
     """2-D interleaved tables (lotka_volterra_partial.py:188-204).
 
     ``context_flag_in_pad=False`` gives LV's convention (flag marks the
     target region); ``True`` gives FHN's inverted one (fitz_nag_NVP.py:197-198).
     ``time_till_end`` is 0.0 for LV, -dt for FHN (fitz_nag_NVP.py:193-194).
+
+    ``time_scale`` rescales the absolute-time channel. The reference feeds
+    raw time (``fitz_nag_NVP.py:191-192``), which reaches 1e5 at its headline
+    T — through a lecun-init dense stack that puts conv outputs at ~1e5 and
+    the SDE density at -1e20 with overflowing gradients (measured: training
+    is frozen by the zeroed global-norm clip from step one). Passing
+    ``1/T_real`` maps the channel to (0, 1]; a conditioning-feature rescale
+    is a reparameterization of the first dense layer, so the variational
+    family is unchanged. Off (1.0) by default for parity with existing
+    checkpoints/golds.
     """
     obs2 = np.asarray(obs2, np.float64)
     d, target = obs2.shape
@@ -189,7 +200,9 @@ def lv_tables(obs2, obs_bin2, time_till2, kernel_len, no_flows, feat_window,
     cols.append(_pad_to(flag, L))
     T_real = target * dt
     cols.append(_pad_to(np.concatenate(
-        [np.zeros(pad), np.repeat(np.arange(dt, T_real + dt / 2, dt), 2)[: 2 * target]]), L))
+        [np.zeros(pad),
+         time_scale * np.repeat(np.arange(dt, T_real + dt / 2, dt),
+                                2)[: 2 * target]]), L))
     # time-till: interleave the (2, .) padding block with the (2, target) data block
     ttp = np.arange(np.round(pad * (dt / 2), 1), time_till_end, -dt)
     ttp2 = np.tile(ttp, (2, 1))
