@@ -48,6 +48,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4_000)
     ap.add_argument("--iw-k", type=int, default=0)
+    ap.add_argument("--objective", default="elbo",
+                    choices=("elbo", "iwae", "dreg", "rws"))
+    ap.add_argument("--inner-m", type=int, default=1)
+    ap.add_argument("--theta-widen", type=float, default=1.0)
+    ap.add_argument("--rws-clip", type=float, default=0.0)
+    ap.add_argument("--p", type=int, default=0,
+                    help="override particle count for the fine-tune")
     ap.add_argument("--cold", action="store_true")
     ap.add_argument("--tag", default="fhn_fullpath",
                     help="output config dir / json name")
@@ -69,7 +76,14 @@ def main():
     gold, gold_file = _load_gold()
 
     weng, info = build_fitz_nag(synthetic=True, T=200.0)
-    eng = SequenceVIEngine.from_windowed(weng, iw_k=args.iw_k)
+    overrides = {"iw_k": args.iw_k, "objective": args.objective,
+                 "inner_m": args.inner_m, "theta_widen": args.theta_widen,
+                 "rws_clip": args.rws_clip}
+    if args.p:
+        import dataclasses
+
+        overrides["cfg"] = dataclasses.replace(weng.cfg, p=args.p)
+    eng = SequenceVIEngine.from_windowed(weng, **overrides)
     cfg_dir = os.path.join(VAL_DIR, args.tag)
     os.makedirs(cfg_dir, exist_ok=True)
     ckpt = Checkpointer(os.path.join(cfg_dir, "ckpt"))
@@ -136,9 +150,18 @@ def main():
         "gold_standard": f"same cached joint NUTS as validation/fhn.json "
                          f"({gold_file})",
         "protocol": (("cold" if args.cold else
-                      "warm start from converged windowed checkpoint + "
-                      "exact full-path fine-tune")
-                     + (f", IWAE k={args.iw_k}" if args.iw_k > 1 else "")),
+                      f"warm start from "
+                      f"{args.warm_ckpt or 'converged windowed checkpoint'} + "
+                      f"exact full-path fine-tune")
+                     + (f", IWAE k={args.iw_k}" if args.iw_k > 1 else "")
+                     + (f", objective={args.objective}"
+                        if args.objective != "elbo" else "")
+                     + (f", inner_m={args.inner_m}"
+                        if args.inner_m > 1 else "")
+                     + (f", theta_widen={args.theta_widen}"
+                        if args.theta_widen != 1.0 else "")
+                     + (f", rws_clip={args.rws_clip}"
+                        if args.rws_clip else "")),
         "vi_steps": args.steps,
         "elbo_fullpath": [elbo, se],
         "theta": theta,

@@ -69,6 +69,17 @@ def main():
                     help="override particle count for the fine-tune")
     ap.add_argument("--iw-k", type=int, default=0,
                     help="fine-tune the IWAE bound over full-path weights")
+    ap.add_argument("--objective", default="elbo",
+                    choices=("elbo", "iwae", "dreg", "rws"),
+                    help="training objective (round 4): dreg = "
+                         "doubly-reparameterized IWAE gradients, rws = "
+                         "forward-KL wake-phase theta update")
+    ap.add_argument("--inner-m", type=int, default=1,
+                    help="path draws per theta (marginalized theta weights)")
+    ap.add_argument("--theta-widen", type=float, default=1.0,
+                    help="rws proposal base-scale inflation")
+    ap.add_argument("--rws-clip", type=float, default=0.0,
+                    help="rws truncated-weight cap (x mean weight; 0=off)")
     ap.add_argument("--no-flows", type=int, default=0,
                     help="override flow count (family-capacity study; "
                          "forces --cold: params no longer match)")
@@ -105,7 +116,9 @@ def main():
         args.cold = True  # widened family: windowed params no longer fit
     weng, info = build_sv_dense(sv_file=os.path.join(_dat_dir(), "SV.dat"),
                                 **builder_kw)
-    overrides = {"iw_k": args.iw_k}
+    overrides = {"iw_k": args.iw_k, "objective": args.objective,
+                 "inner_m": args.inner_m, "theta_widen": args.theta_widen,
+                 "rws_clip": args.rws_clip}
     cfg = weng.cfg
     if args.p:
         cfg = dataclasses.replace(cfg, p=args.p)
@@ -253,7 +266,15 @@ def main():
                       f"warm start from "
                       f"{args.warm_ckpt or 'converged windowed checkpoint'} + "
                       f"exact full-path fine-tune")
-                     + (f", IWAE k={args.iw_k}" if args.iw_k > 1 else "")),
+                     + (f", IWAE k={args.iw_k}" if args.iw_k > 1 else "")
+                     + (f", objective={args.objective}"
+                        if args.objective != "elbo" else "")
+                     + (f", inner_m={args.inner_m}"
+                        if args.inner_m > 1 else "")
+                     + (f", theta_widen={args.theta_widen}"
+                        if args.theta_widen != 1.0 else "")
+                     + (f", rws_clip={args.rws_clip}"
+                        if args.rws_clip else "")),
         "vi_steps": args.steps,
         "elbo_fullpath": [elbo, se],
         "theta": theta,

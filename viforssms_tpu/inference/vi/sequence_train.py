@@ -54,6 +54,45 @@ from viforssms_tpu.flows.nma import NMAFlowStack
 from viforssms_tpu.parallel.halo import halo_exchange_left
 
 
+def dreg_theta_mix(theta, w_tilde):
+    """Per-sample gradient-reweighted theta for the DReG estimator.
+
+    Value-identity (returns exactly ``theta``) whose tangent w.r.t. the
+    theta-flow parameters is scaled per-sample by ``w_tilde``. Feeding the
+    result through the log-weight computation under a ``stop_gradient``-ed
+    theta-flow density and weighting the result by ``stop_gradient(w_tilde)``
+    yields the doubly-reparameterized (DReG, Tucker et al. 2019) gradient
+    w_tilde^2 * d(log w)/d(theta) * d(theta)/d(phi) for the theta-flow
+    parameters in ONE backward pass, while every other parameter group sees
+    the plain-IWAE w_tilde weighting."""
+    sg = jax.lax.stop_gradient
+    return sg(theta) + sg(w_tilde)[:, None] * (theta - sg(theta))
+
+
+def masked_group_logsumexp(vals, group, nan_mask):
+    """log-mean-exp over trailing groups of size ``group``.
+
+    With ``nan_mask`` non-finite members are dropped from their group and
+    the count adjusts (the windowed engine's IWAE convention, ``train.py``
+    iw_k path); an all-non-finite group yields -inf WITHOUT poisoning
+    gradients (the usual logsumexp-at-(-inf) NaN cotangent is avoided by
+    hand-rolling the max-shift with a clamped log)."""
+    g = vals.reshape(-1, group)
+    if nan_mask:
+        finite = jnp.isfinite(g)
+        n_ok = jnp.sum(finite, axis=1)
+        g = jnp.where(finite, g, -jnp.inf)
+    else:
+        n_ok = jnp.full(g.shape[0], group)
+    gmax = jax.lax.stop_gradient(jnp.max(g, axis=1))
+    gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
+    s = jnp.sum(jnp.exp(g - gmax[:, None]), axis=1)
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, vals.dtype)
+    out = (jnp.log(jnp.maximum(s, tiny)) + gmax
+           - jnp.log(jnp.maximum(n_ok, 1).astype(vals.dtype)))
+    return jnp.where(n_ok > 0, out, -jnp.inf), n_ok
+
+
 class SeqELBOTerms(NamedTuple):
     elbo: jax.Array      # (p,)
     sde_lp: jax.Array    # (p,)
@@ -311,6 +350,39 @@ class SequenceVIEngine:
     # construction here — so groups of K particles maximize the tighter
     # log(1/K sum w_k) bound. 0/1 = standard ELBO.
     iw_k: int = 0
+    # Training objective (round 4; docs/KNOWN_GAPS.md round-3 escape routes):
+    #   "elbo"  — standard reverse-KL ELBO (iw_k>1 upgrades it to "iwae" for
+    #             back-compat with the round-3 studies);
+    #   "iwae"  — plain-gradient IWAE over iw_k-groups (round-3 production);
+    #   "dreg"  — the same IWAE bound with DOUBLY-REPARAMETERIZED gradients
+    #             for the theta-flow parameters (Tucker et al. 2019): the
+    #             high-variance score term is removed and the pathwise term
+    #             is w^2-weighted, so k can scale far past 25 without the
+    #             theta-gradient SNR collapse that stalled round 3. Costs a
+    #             second (no-grad) forward pass per step.
+    #   "rws"   — reweighted wake-sleep wake-phase theta update (forward
+    #             KL): theta-flow parameters maximize the self-normalized
+    #             importance-weighted log-density of their own samples
+    #             (mass-covering, directly attacks reverse-KL mean bias)
+    #             while the path flow trains on the IWAE bound at stopped
+    #             theta samples.
+    objective: str = "elbo"
+    # Paths per theta (>1 = marginalized weights): each theta is scored by
+    # log(1/M sum_j p(y, x_j, th)/q(x_j|th)) over M path draws — a
+    # Rao-Blackwellized theta weight whose variance drops with M. This is
+    # the lever against the PSIS k_hat ~ 2.1 joint-weight degeneracy
+    # (round-3 KNOWN_GAPS): the path-space noise that swamped per-particle
+    # weights is averaged out BEFORE theta-level normalization.
+    inner_m: int = 1
+    # "rws" proposal widening: theta sampled from the flow with base scale
+    # inflated by this factor (weights use the widened proposal's own
+    # density, so they stay exact); lets the wake update see — and move
+    # mass toward — regions beyond the current posterior's reach.
+    theta_widen: float = 1.0
+    # "rws" truncated self-normalized weights (Ionides 2008 style): cap raw
+    # weights at rws_clip * mean(weight) before normalizing (0 = off).
+    # Bounds the worst-case single-sample pull at the cost of some bias.
+    rws_clip: float = 0.0
     # Skip parameter updates whose gradients are non-finite (optax.
     # apply_if_finite). Cold full-path training can produce a single inf
     # gradient from an extreme-tail particle (a full-path SDE term is ~T/b
@@ -338,8 +410,21 @@ class SequenceVIEngine:
             f"{n_seq} sequence shards (even chunks for 2-D interleave)")
         assert cfg.p % self.mesh.shape[self.particle_axis] == 0, (
             cfg.p, self.mesh.shape)
-        if self.iw_k > 1 and cfg.p % self.iw_k:
-            raise ValueError(f"iw_k={self.iw_k} must divide p={cfg.p}")
+        if self.objective not in ("elbo", "iwae", "dreg", "rws"):
+            raise ValueError(f"unknown objective {self.objective!r}")
+        if self.objective == "elbo" and self.iw_k > 1:
+            # round-3 invocation style: iw_k alone selects IWAE training
+            self.objective = "iwae"
+        if self.inner_m > 1 and cfg.p % self.inner_m:
+            raise ValueError(f"inner_m={self.inner_m} must divide p={cfg.p}")
+        n_theta = cfg.p // max(self.inner_m, 1)
+        if self.iw_k > 1 and n_theta % self.iw_k:
+            raise ValueError(
+                f"iw_k={self.iw_k} must divide n_theta={n_theta} "
+                f"(p={cfg.p} / inner_m={self.inner_m})")
+        if self.objective in ("dreg", "rws") and self.fix_theta_value is not None:
+            raise ValueError(f"{self.objective} trains the theta flow; "
+                             "incompatible with fix_theta_value")
         self.flow = NMAFlowStack(
             network_dims=tuple(cfg.flow.network_dims),
             kernel_len=cfg.flow.kernel_len,
@@ -451,24 +536,19 @@ class SequenceVIEngine:
     def _loss(self, params, key):
         from viforssms_tpu.inference.vi.train import StepMetrics
 
+        if self.objective in ("dreg", "rws") or self.inner_m > 1:
+            return self._loss_weighted(params, key)
         k_t, k_p = jax.random.split(key)
         theta, theta_lq, prior_lp = self._theta(params, k_t)
         t = self._terms(params, k_p, theta)
         elbo = t.elbo + prior_lp - theta_lq
-        if self.iw_k > 1:
+        if self.objective == "iwae" and self.iw_k > 1:
             # per-group IWAE bound over full-path importance weights; the
             # nan-mask drops non-finite members from the group (same
             # reasoning as the windowed engine's iw_k path)
-            g = elbo.reshape(-1, self.iw_k)
-            if self.cfg.train.nan_mask_loss:
-                finite = jnp.isfinite(g)
-                n_ok = jnp.sum(finite, axis=1)
-                g = jnp.where(finite, g, -jnp.inf)
-                bound = jax.nn.logsumexp(g, axis=1) - jnp.log(
-                    jnp.maximum(n_ok, 1).astype(elbo.dtype))
-                bound = jnp.where(n_ok > 0, bound, jnp.zeros_like(bound))
-            else:
-                bound = jax.nn.logsumexp(g, axis=1) - jnp.log(float(self.iw_k))
+            bound, n_ok = masked_group_logsumexp(
+                elbo, self.iw_k, self.cfg.train.nan_mask_loss)
+            bound = jnp.where(n_ok > 0, bound, jnp.zeros_like(bound))
             loss = -jnp.mean(bound)
             metrics = StepMetrics(
                 elbo=-loss, sde_lp=jnp.mean(t.sde_lp),
@@ -484,6 +564,129 @@ class SequenceVIEngine:
             elbo=-loss, sde_lp=jnp.mean(t.sde_lp), obs_lp=jnp.mean(t.obs_lp),
             path_lq=jnp.mean(t.path_lq), theta_lq=jnp.mean(theta_lq),
             prior_lp=jnp.mean(prior_lp), grad_norm=jnp.zeros(()),
+        )
+        return loss, metrics
+
+    # ---- weighted objectives (round 4): marginalized IWAE / DReG / RWS ----
+
+    def _marginalized_lw(self, params, k_p, theta_u, theta_lq_u,
+                         theta_params_override=None):
+        """Per-theta full log importance weight, paths marginalized.
+
+        theta_u: (n_theta, D) theta draws; each is scored by inner_m path
+        draws from q(x | theta) (the SAME base noise for a given k_p, so
+        repeated calls are common-random-number comparable):
+          lw_i = log(1/M sum_j w_path_ij) + log p(theta_i) - log q(theta_i).
+        ``theta_params_override`` substitutes the theta-flow parameter tree
+        used for the density term (the DReG phi-bar evaluation)."""
+        theta = (jnp.repeat(theta_u, self.inner_m, axis=0)
+                 if self.inner_m > 1 else theta_u)
+        t = self._terms(params, k_p, theta)
+        lhat, n_ok = masked_group_logsumexp(
+            t.elbo, self.inner_m, self.cfg.train.nan_mask_loss)
+        prior_u = self.model.log_prior(theta_u)
+        if theta_params_override is not None:
+            lq_u = self.theta_flow.apply(
+                theta_params_override, theta_u,
+                method=type(self.theta_flow).log_prob)
+        else:
+            lq_u = theta_lq_u
+        return lhat + prior_u - lq_u, prior_u, t
+
+    def _group_weights(self, lw_sg, k_g):
+        """Per-group self-normalized weights from STOPPED log-weights;
+        non-finite members get weight 0 (flat (n_theta,) output)."""
+        g = lw_sg.reshape(-1, k_g)
+        finite = jnp.isfinite(g)
+        g = jnp.where(finite, g, -jnp.inf)
+        gmax = jnp.max(g, axis=1, keepdims=True)
+        e = jnp.where(finite, jnp.exp(g - jnp.where(jnp.isfinite(gmax),
+                                                    gmax, 0.0)), 0.0)
+        w = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+        return w.reshape(-1)
+
+    def _bound_loss(self, lw, k_g):
+        """-mean over valid groups of the per-group log-mean-exp bound."""
+        bound, n_ok = masked_group_logsumexp(
+            lw, k_g, self.cfg.train.nan_mask_loss)
+        valid = n_ok > 0
+        n_valid = jnp.maximum(jnp.sum(valid), 1)
+        return -jnp.sum(jnp.where(valid, bound, 0.0)) / n_valid.astype(lw.dtype)
+
+    def _loss_weighted(self, params, key):
+        from viforssms_tpu.inference.vi.train import StepMetrics
+
+        sg = jax.lax.stop_gradient
+        k_t, k_p = jax.random.split(key)
+        n_t = self.cfg.p // self.inner_m
+        k_g = self.iw_k if self.iw_k > 1 else n_t
+        widen = self.theta_widen if self.objective == "rws" else 1.0
+        theta_u, theta_lq_u = self.theta_flow.apply(
+            params["theta"], k_t, n_t, widen,
+            method=type(self.theta_flow).sample_and_log_prob)
+
+        if self.objective == "dreg":
+            # pass 1 (values only, everything stopped — a pure forward):
+            # group weights w and the reported bound come from here
+            lw0, prior0, t0 = self._marginalized_lw(
+                jax.tree_util.tree_map(sg, params), k_p, sg(theta_u),
+                sg(theta_lq_u))
+            lw0 = sg(lw0)
+            w = self._group_weights(lw0, k_g)
+            bound_loss = sg(self._bound_loss(lw0, k_g))
+            # pass 2 (gradients): theta tangent pre-scaled by w so the
+            # sg(w)-weighted sum yields the DReG w^2 pathwise theta
+            # gradient; the phi-bar density evaluation removes the score
+            # term; path-flow parameters see the plain-IWAE w weighting.
+            theta_mix = dreg_theta_mix(theta_u, w)
+            lw1, _, _ = self._marginalized_lw(
+                params, k_p, theta_mix, None,
+                theta_params_override=jax.tree_util.tree_map(
+                    sg, params["theta"]))
+            lw1 = jnp.where(jnp.isfinite(lw0), lw1, 0.0)
+            n_groups = jnp.asarray(n_t // k_g, lw1.dtype)
+            surrogate = -jnp.sum(sg(w) * lw1) / n_groups
+            loss = surrogate - sg(surrogate) + bound_loss
+            theta_lq_m = jnp.mean(theta_lq_u)
+            prior_m = jnp.mean(prior0)
+            t = t0
+        elif self.objective == "rws":
+            # wake-phase theta update: theta samples are STOPPED everywhere;
+            # the path flow trains on the marginalized IWAE bound at those
+            # thetas, the theta flow ONLY on the weighted wake density.
+            theta_s = sg(theta_u)
+            lw, prior_u, t = self._marginalized_lw(
+                params, k_p, theta_s, sg(theta_lq_u))
+            loss_path = self._bound_loss(lw, k_g)
+            lw_sg = sg(lw)
+            if self.rws_clip > 0.0:
+                # truncated self-normalized weights: cap at clip * mean
+                lme, _ = masked_group_logsumexp(lw_sg, k_g, True)
+                cap = (jnp.repeat(lme, k_g) + jnp.log(self.rws_clip))
+                lw_sg = jnp.minimum(lw_sg, cap)
+            w = self._group_weights(lw_sg, k_g)
+            lqw = self.theta_flow.apply(
+                params["theta"], theta_s,
+                method=type(self.theta_flow).log_prob)
+            lqw = jnp.where(sg(jnp.isfinite(lqw)), lqw, 0.0)
+            n_groups = jnp.asarray(n_t // k_g, lw.dtype)
+            loss_wake = -jnp.sum(sg(w) * lqw) / n_groups
+            loss = loss_path + loss_wake
+            theta_lq_m = jnp.mean(theta_lq_u)
+            prior_m = jnp.mean(prior_u)
+        else:
+            # marginalized IWAE, plain gradients
+            lw, prior_u, t = self._marginalized_lw(params, k_p, theta_u,
+                                                   theta_lq_u)
+            loss = self._bound_loss(lw, k_g)
+            theta_lq_m = jnp.mean(theta_lq_u)
+            prior_m = jnp.mean(prior_u)
+
+        metrics = StepMetrics(
+            elbo=-loss if self.objective != "rws" else -loss_path,
+            sde_lp=jnp.mean(t.sde_lp), obs_lp=jnp.mean(t.obs_lp),
+            path_lq=jnp.mean(t.path_lq), theta_lq=theta_lq_m,
+            prior_lp=prior_m, grad_norm=jnp.zeros(()),
         )
         return loss, metrics
 
@@ -644,6 +847,34 @@ class SequenceVIEngine:
             lws.append(np.asarray(lw, np.float64))
         return (np.concatenate(thetas), np.concatenate(xs),
                 np.concatenate(lws))
+
+    def marginalized_importance_draws(self, params, key, num_batches: int = 8):
+        """(theta, log_w) with PATHS MARGINALIZED: each theta draw is scored
+        by ``inner_m`` path draws, log w = log(1/M sum_j p(y, x_j, th)/
+        q(x_j|th)) + log p(th) - log q(th) — a Rao-Blackwellized theta
+        weight. Against the per-particle joint weights (PSIS k_hat ~ 2.1 at
+        the SV/FHN dims, round-3 KNOWN_GAPS) the path-space noise is
+        averaged out BEFORE normalization, so SNIS over theta becomes
+        usable. Requires ``inner_m > 1`` on this engine."""
+        assert self.inner_m > 1, "set inner_m > 1 for marginalized draws"
+        if not hasattr(self, "_miw_draw"):
+            def draw(params, k1, k2):
+                n_t = self.cfg.p // self.inner_m
+                theta_u, theta_lq_u = self.theta_flow.apply(
+                    params["theta"], k1, n_t,
+                    method=type(self.theta_flow).sample_and_log_prob)
+                lw, _, _ = self._marginalized_lw(params, k2, theta_u,
+                                                 theta_lq_u)
+                return theta_u, lw
+
+            self._miw_draw = jax.jit(draw)
+        thetas, lws = [], []
+        for _ in range(num_batches):
+            key, k1, k2 = jax.random.split(key, 3)
+            th, lw = self._miw_draw(params, k1, k2)
+            thetas.append(np.asarray(th))
+            lws.append(np.asarray(lw, np.float64))
+        return np.concatenate(thetas), np.concatenate(lws)
 
     def estimate_elbo(self, params, key, num_draws: int = 20):
         """Mean/SE of the full-path ELBO over fresh draws (exact bound — no

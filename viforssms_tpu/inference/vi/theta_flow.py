@@ -109,10 +109,17 @@ class ThetaPosterior(nn.Module):
     def __call__(self, key, p: int):
         return self.sample_and_log_prob(key, p)
 
-    def sample_and_log_prob(self, key, p: int):
-        """Draw p samples and their log q — one parallel MADE pass per bijector."""
-        z = self.base_loc + self.base_scale * jax.random.normal(key, (p, self.dim))
-        log_q = jnp.sum(normal_logpdf(z, self.base_loc, self.base_scale), axis=-1)
+    def sample_and_log_prob(self, key, p: int, widen: float = 1.0):
+        """Draw p samples and their log q — one parallel MADE pass per bijector.
+
+        ``widen > 1`` inflates the BASE scale by that factor (a defensive
+        proposal for self-normalized/forward-KL training: samples reach
+        beyond the current posterior's support); the returned log-density is
+        the widened proposal's own, so importance weights against it are
+        exact. ``widen=1`` is the posterior itself."""
+        scale = self.base_scale * widen
+        z = self.base_loc + scale * jax.random.normal(key, (p, self.dim))
+        log_q = jnp.sum(normal_logpdf(z, self.base_loc, scale), axis=-1)
         x = z
         for k in range(self.num_bijectors):
             shift, log_scale = self.mades[k](x)
@@ -220,9 +227,10 @@ class RealNVPPosterior(nn.Module):
     def __call__(self, key, p: int):
         return self.sample_and_log_prob(key, p)
 
-    def sample_and_log_prob(self, key, p: int):
-        z = self.base_loc + self.base_scale * jax.random.normal(key, (p, self.dim))
-        log_q = jnp.sum(normal_logpdf(z, self.base_loc, self.base_scale), axis=-1)
+    def sample_and_log_prob(self, key, p: int, widen: float = 1.0):
+        scale = self.base_scale * widen
+        z = self.base_loc + scale * jax.random.normal(key, (p, self.dim))
+        log_q = jnp.sum(normal_logpdf(z, self.base_loc, scale), axis=-1)
         x = z
         for c in self.couplings:
             x, ldj = c.forward(x)
