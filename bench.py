@@ -116,16 +116,17 @@ def main(argv=None):
 
     baseline, src = measured_baseline_steps_per_sec()
     print(f"host-feed baseline ({src}): {baseline} steps/s", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "lv_partial_elbo_grad_steps_per_sec_per_chip",
-                "value": round(steps_per_sec, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / baseline, 3),
-            }
-        )
-    )
+    rec = {
+        "metric": "lv_partial_elbo_grad_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / baseline, 3),
+    }
+    # model-FLOP utilization vs the chip's peak (VERDICT r3 item 5)
+    from viforssms_tpu.utils.roofline import mfu_fields
+
+    rec.update(mfu_fields(eng, steps_per_sec))
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -84,7 +84,7 @@ def measure(num_series: int = 256, p_val: int = 128, epochs: int = 8,
         float(m.elbo)                                   # sess.run fetch parity
         times.append(time.perf_counter() - t0)
     ref_sps = 1.0 / float(np.median(times))
-    return {
+    out = {
         "metric": "lv_learn_theta_elbo_grad_steps_per_sec_per_chip",
         "value": round(prod_sps, 3),
         "unit": "steps/s",
@@ -96,6 +96,10 @@ def measure(num_series: int = 256, p_val: int = 128, epochs: int = 8,
         "baseline_loop_shape": "per-batch dispatch + per-step loss fetch "
                                "(..._learn_theta.py:623-707 tf.data loop)",
     }
+    from viforssms_tpu.utils.roofline import mfu_fields
+
+    out.update(mfu_fields(prod, prod_sps))
+    return out
 
 
 def main(argv=None):

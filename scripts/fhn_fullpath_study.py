@@ -53,6 +53,7 @@ def main():
     ap.add_argument("--inner-m", type=int, default=1)
     ap.add_argument("--theta-widen", type=float, default=1.0)
     ap.add_argument("--rws-clip", type=float, default=0.0)
+    ap.add_argument("--rws-target-sd", type=float, default=0.0)
     ap.add_argument("--p", type=int, default=0,
                     help="override particle count for the fine-tune")
     ap.add_argument("--cold", action="store_true")
@@ -78,7 +79,8 @@ def main():
     weng, info = build_fitz_nag(synthetic=True, T=200.0)
     overrides = {"iw_k": args.iw_k, "objective": args.objective,
                  "inner_m": args.inner_m, "theta_widen": args.theta_widen,
-                 "rws_clip": args.rws_clip}
+                 "rws_clip": args.rws_clip,
+                 "rws_target_sd": args.rws_target_sd}
     if args.p:
         import dataclasses
 
@@ -161,7 +163,9 @@ def main():
                      + (f", theta_widen={args.theta_widen}"
                         if args.theta_widen != 1.0 else "")
                      + (f", rws_clip={args.rws_clip}"
-                        if args.rws_clip else "")),
+                        if args.rws_clip else "")
+                     + (f", rws_target_sd={args.rws_target_sd}"
+                        if args.rws_target_sd else "")),
         "vi_steps": args.steps,
         "elbo_fullpath": [elbo, se],
         "theta": theta,

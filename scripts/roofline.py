@@ -28,30 +28,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# TPU v5e (lite) per-chip peaks (public spec: 197 TFLOP/s bf16, 819 GB/s HBM).
-PEAK = {"tpu v5 lite": {"bf16_tflops": 197.0, "f32_tflops": 98.5,
-                        "hbm_gbps": 819.0}}
-
-
-def flow_step_flops(p, kernel_ext, F, w0, n_feat_layers, kernel_len, n_tower,
-                    no_flows, flow_dims, theta_dim, iw_grouped=1):
-    """Matmul FLOPs (fwd) of one ELBO evaluation, from the ConvIAF geometry
-    (flows/nma.py): per flow — 4 feature dense layers F->w0->w0..., causal
-    conv (K*(1+w0) -> w0 per position), tower 1x1 convs, output head, theta
-    embedding. Backward ~2x forward for matmuls (dgrad+wgrad)."""
-    L = kernel_ext - 1             # feature/conv positions per window
-    fl = 0
-    for i in range(no_flows):
-        Lf = L - i * kernel_len    # truncated feature window per flow
-        Lc = kernel_ext - (i + 1) * kernel_len  # conv output positions (approx)
-        dims = [F] + [w0] * n_feat_layers
-        fl += sum(2 * Lf * dims[j] * dims[j + 1] for j in range(n_feat_layers))
-        fl += 2 * Lc * kernel_len * (1 + w0) * w0          # causal conv
-        fl += 2 * Lc * w0 * w0 * n_tower                   # 1x1 tower
-        out_pos = Lc // 2 if flow_dims == 2 else Lc
-        fl += 2 * out_pos * w0 * 2                         # mu/sigma head
-        fl += 2 * (theta_dim * w0 + 2 * w0 * w0)           # theta embed
-    return p * fl
+# FLOP model + peak table live in the library so bench.py shares them
+# (viforssms_tpu/utils/roofline.py, round 4)
+from viforssms_tpu.utils.roofline import PEAK, flow_step_flops  # noqa: E402
 
 
 def main():

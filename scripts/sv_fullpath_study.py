@@ -80,6 +80,9 @@ def main():
                     help="rws proposal base-scale inflation")
     ap.add_argument("--rws-clip", type=float, default=0.0,
                     help="rws truncated-weight cap (x mean weight; 0=off)")
+    ap.add_argument("--rws-target-sd", type=float, default=0.0,
+                    help="rws adaptive weight tempering: target sd of the "
+                         "tempered log-weights (0=off)")
     ap.add_argument("--no-flows", type=int, default=0,
                     help="override flow count (family-capacity study; "
                          "forces --cold: params no longer match)")
@@ -118,7 +121,8 @@ def main():
                                 **builder_kw)
     overrides = {"iw_k": args.iw_k, "objective": args.objective,
                  "inner_m": args.inner_m, "theta_widen": args.theta_widen,
-                 "rws_clip": args.rws_clip}
+                 "rws_clip": args.rws_clip,
+                 "rws_target_sd": args.rws_target_sd}
     cfg = weng.cfg
     if args.p:
         cfg = dataclasses.replace(cfg, p=args.p)
@@ -274,7 +278,9 @@ def main():
                      + (f", theta_widen={args.theta_widen}"
                         if args.theta_widen != 1.0 else "")
                      + (f", rws_clip={args.rws_clip}"
-                        if args.rws_clip else "")),
+                        if args.rws_clip else "")
+                     + (f", rws_target_sd={args.rws_target_sd}"
+                        if args.rws_target_sd else "")),
         "vi_steps": args.steps,
         "elbo_fullpath": [elbo, se],
         "theta": theta,

@@ -1,0 +1,200 @@
+"""Production theta-posterior refit on particle-filter evidence (round 4).
+
+The protocol that finally beats the certified reverse-KL floor
+(``validation/floor_{sv,fhn}.json``): keep the converged full-path IWAE
+path flow, and refit ONLY q(theta) by iterated SNIS-weighted forward-KL
+MLE on bootstrap-PF evidence weights
+(``inference/vi/theta_refit.refit_theta_forward_kl`` — see its docstring
+for why VI-importance weights cannot do this job). The judged theta
+marginal then comes from ``sample_theta`` as always; the path posterior is
+re-checked (and optionally briefly re-fine-tuned with theta frozen) at the
+new theta distribution.
+
+Writes validation/{sv,fhn}_smc_refit.json + ckpt — the round-4 production
+posterior artifacts (first entries of validate_baseline's
+SV/FHN_PRODUCTION_TAGS).
+
+Run on the TPU:
+    python scripts/theta_smc_refit.py --config sv
+    python scripts/theta_smc_refit.py --config fhn
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from objective_floor import _production_engine  # noqa: E402
+from validate_baseline import (  # noqa: E402
+    VAL_DIR,
+    _path_block,
+    _theta_block,
+    _vi_paths_batched,
+)
+
+
+def _load_gold(cfg, theta_dim):
+    cands = sorted(glob.glob(os.path.join(VAL_DIR, cfg,
+                                          "gold_joint_nuts*.npz")))
+    assert cands, f"run validate_baseline.py {cfg} first"
+    with np.load(cands[-1]) as z:
+        g = z["gold"]
+    return g, os.path.basename(cands[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=("sv", "fhn"), required=True)
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--draws-per-round", type=int, default=2048)
+    ap.add_argument("--particles", type=int, default=512)
+    ap.add_argument("--widen", type=float, default=2.0)
+    ap.add_argument("--fit-steps", type=int, default=400)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--path-steps", type=int, default=0,
+                    help="optional frozen-theta path fine-tune after the "
+                         "refit (IWAE bound, theta updates masked)")
+    ap.add_argument("--from-tag", default=None,
+                    help="production checkpoint tag to start from "
+                         "(default: validate's judged order)")
+    args = ap.parse_args()
+
+    from viforssms_tpu.core.platform import apply_platform_env
+
+    apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+
+    from viforssms_tpu.inference.validate import (
+        ssm2d_smc_evidence,
+        sv_smc_evidence,
+    )
+    from viforssms_tpu.inference.vi.theta_refit import refit_theta_forward_kl
+    from viforssms_tpu.utils.checkpoint import Checkpointer
+
+    t0 = time.time()
+    eng, state, info, ckpt_src = _production_engine(args.config,
+                                                    tag=args.from_tag)
+    model = eng.model
+    names = (("t0_drift", "t1_mean", "t2_rate", "t3_vol")
+             if args.config == "sv" else
+             ("log_eps", "alpha", "beta", "log_s1", "log_s2"))
+    gold, gold_file = _load_gold(args.config, model.theta_dim)
+    print(f"start from {ckpt_src}", flush=True)
+
+    N = args.particles
+    if args.config == "sv":
+        obs, x0 = info["obs"], info["x0"]
+
+        def ev_one(th, k):
+            return sv_smc_evidence(model, obs, x0, th, N, k)
+    else:
+        obs, obs_bin, x0 = info["obs"], info["obs_bin"], info["x0"]
+
+        def ev_one(th, k):
+            return ssm2d_smc_evidence(model, obs, obs_bin,
+                                      np.asarray(x0, np.float32), th, N, k)
+
+    ev_batch = jax.jit(lambda th, k: jax.vmap(ev_one)(
+        th, jax.random.split(k, th.shape[0])))
+
+    # evidence-noise floor at a reference theta (repeat-key sd)
+    anchor = jnp.asarray(model.pretrain_theta_anchor, jnp.float32)
+    reps = jnp.tile(anchor[None, :], (16, 1))
+    e = np.asarray(ev_batch(reps, jax.random.key(3)), np.float64)
+    noise_sd = float(e.std())
+    print(f"evidence noise at anchor theta (N={N}): sd {noise_sd:.3f} nats",
+          flush=True)
+
+    def log_joint_fn(key, th):
+        return ev_batch(th, key) + model.log_prior(th)
+
+    params_theta, hist = refit_theta_forward_kl(
+        eng.theta_flow, state.params["theta"], log_joint_fn,
+        jax.random.key(17), rounds=args.rounds,
+        draws_per_round=args.draws_per_round, widen=args.widen,
+        learning_rate=args.lr, fit_steps=args.fit_steps)
+    params = dict(state.params)
+    params["theta"] = params_theta
+    state = state._replace(params=params)
+
+    if args.path_steps > 0:
+        import dataclasses
+
+        from viforssms_tpu.inference.vi.sequence_train import SequenceVIEngine
+
+        peng = dataclasses.replace(eng, freeze_theta=True, iw_k=25,
+                                   objective="iwae")
+        pstate = peng.init(jax.random.key(23))
+        pstate = pstate._replace(params=state.params)
+        pstate, m = peng.fit(pstate, num_steps=args.path_steps, scan_chunk=50)
+        state = state._replace(params=pstate.params)
+        print(f"frozen-theta path fine-tune {args.path_steps} steps: "
+              f"bound {float(m.elbo):.4f}", flush=True)
+
+    tag = f"{args.config}_smc_refit"
+    cfg_dir = os.path.join(VAL_DIR, tag)
+    os.makedirs(cfg_dir, exist_ok=True)
+    Checkpointer(os.path.join(cfg_dir, "ckpt")).save(state)
+    with open(os.path.join(cfg_dir, "fit_meta.json"), "w") as f:
+        json.dump({"fit_steps": int(state.step)}, f)
+
+    # ---- judged blocks vs the SAME cached gold ----
+    vi_theta = eng.sample_theta(state.params, jax.random.key(42), 20_000)
+    theta = _theta_block(vi_theta, gold[:, :, :model.theta_dim], names)
+    vi_paths = _vi_paths_batched(eng, state.params, jax.random.key(44), 6)
+    if args.config == "sv":
+        vi_lat = vi_paths[:, 1, :]
+    else:
+        vi_lat = vi_paths.reshape(vi_paths.shape[0], -1)
+    paths = _path_block(vi_lat, gold[:, :, model.theta_dim:])
+
+    elbo, se = eng.estimate_elbo(state.params, jax.random.key(45), 10)
+    out = {
+        "config": tag,
+        "gold_standard": f"same cached joint NUTS as validation/"
+                         f"{args.config}.json ({gold_file})",
+        "protocol": (f"path flow from {ckpt_src}; theta flow refit by "
+                     f"{args.rounds} rounds of SNIS forward-KL MLE on "
+                     f"bootstrap-PF evidence (N={N}, "
+                     f"{args.draws_per_round} draws/round, widen "
+                     f"{args.widen}, truncated weights)"
+                     + (f"; + {args.path_steps} frozen-theta path "
+                        f"fine-tune steps" if args.path_steps else "")),
+        "evidence_noise_sd_nats": noise_sd,
+        "refit_rounds": [
+            {"ess": h.ess, "k_hat": h.k_hat,
+             "weighted_nll": [h.nll_start, h.nll_end],
+             "snis_mean": h.snis_mean.tolist(),
+             "snis_sd": h.snis_sd.tolist()}
+            for h in hist
+        ],
+        "vi_steps": int(state.step),
+        "elbo_fullpath": [elbo, se],
+        "theta": theta,
+        "paths": paths,
+        "wall_s": round(time.time() - t0, 1),
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    with open(os.path.join(VAL_DIR, f"{tag}.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"saved validation/{tag}.json", flush=True)
+    for i, n in enumerate(names):
+        print(f"{n}: vi {theta['vi_mean'][i]:.4f}±{theta['vi_sd'][i]:.4f} "
+              f"gold {theta['gold_mean'][i]:.4f}±{theta['gold_sd'][i]:.4f} "
+              f"bias/sd {theta['bias_in_posterior_sd'][i]:.2f}", flush=True)
+    print(f"paths: median bias/sd {paths['bias_sd_median']:.3f}, "
+          f"max {paths['bias_sd_max']:.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,21 @@ def _write_fit_meta(cfg_dir, fit_steps):
         json.dump({"fit_steps": int(fit_steps)}, f)
 
 
+def _fit_deficit(cfg_dir, restored_step, num_steps):
+    """(deficit, fit_done) for a restored checkpoint.
+
+    TrainState.step counts pretrain AND fit steps (ADVICE r2): the fit-only
+    count lives in the ``fit_meta.json`` sidecar; for pre-sidecar
+    checkpoints fall back to the total step — which over-counts fit by the
+    pretrain length, i.e. never re-trains a finished schedule."""
+    fit_done = int(restored_step)
+    meta_path = os.path.join(cfg_dir, "fit_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            fit_done = int(json.load(f).get("fit_steps", fit_done))
+    return num_steps - fit_done, fit_done
+
+
 def _train_or_restore(eng, cfg_dir, pretrain=None, finite_gate=None,
                       num_steps=20_000, seed=1, epochs=None, pre_epochs=0):
     """Fit the VI engine (or restore a finished state from cfg_dir/ckpt)."""
@@ -71,16 +86,9 @@ def _train_or_restore(eng, cfg_dir, pretrain=None, finite_gate=None,
     if restored is not None and int(restored.step) > 0:
         print(f"[{cfg_dir}] restored VI state at step {int(restored.step)}",
               flush=True)
-        # TrainState.step also counts pretrain steps (ADVICE r2): the
-        # fit-only count lives in a sidecar; for pre-sidecar checkpoints
-        # fall back to the total step (over-counts fit by the pretrain
-        # length, i.e. never re-trains a finished schedule).
-        fit_done = int(restored.step)
-        meta_path = os.path.join(cfg_dir, "fit_meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                fit_done = int(json.load(f).get("fit_steps", fit_done))
-        deficit = 0 if epochs is not None else num_steps - fit_done
+        deficit, fit_done = _fit_deficit(cfg_dir, restored.step, num_steps)
+        if epochs is not None:
+            deficit = 0
         if deficit <= 0:
             return restored
         # the checkpoint is from a shorter schedule: continue the fit
@@ -238,9 +246,9 @@ def _gold_run_diag(g):
 # checkpoints in this same order (imported from here) so a floor certificate
 # can only be issued for — and honored against — the judged posterior
 # (ADVICE r3, high: a cert for a different checkpoint must not grant PASS).
-SV_PRODUCTION_TAGS = ("sv_fullpath_rws", "sv_wide_iw25", "sv_fullpath_iw25",
+SV_PRODUCTION_TAGS = ("sv_smc_refit", "sv_wide_iw25", "sv_fullpath_iw25",
                       "sv_fullpath_iw8", "sv_fullpath")
-FHN_PRODUCTION_TAGS = ("fhn_fullpath_rws", "fhn_fullpath_iw25",
+FHN_PRODUCTION_TAGS = ("fhn_smc_refit", "fhn_fullpath_iw25",
                        "fhn_fullpath_iw10", "fhn_fullpath_iw8",
                        "fhn_fullpath")
 
@@ -365,31 +373,42 @@ def _sv_notes(theta, paths, ok, judged_tag=None, gold_file=None):
              ("+ IWAE k=8", _study_bias("sv_fullpath_iw8")),
              ("+ IWAE k=25", _study_bias("sv_fullpath_iw25")),
              ("wider family (8 flows, width 64)", _study_bias("sv_wide")),
-             ("wider + IWAE k=25", _study_bias("sv_wide_iw25"))]
+             ("wider + IWAE k=25", _study_bias("sv_wide_iw25")),
+             ("DReG k=50 (saturated)", _study_bias("sv_fullpath_dreg")),
+             ("VI-weight RWS (NEGATIVE: amplifies bias)",
+              _study_bias("sv_fullpath_rws_negative")),
+             ("PF-evidence forward-KL theta refit",
+              _study_bias("sv_smc_refit"))]
     steps = [f"{name} {b:.2f}" for name, b in chain if b is not None]
     if len(steps) > 1:
         lines.append(
             "Diagnosis chain (max theta bias/sd under the SAME gold): "
             + " -> ".join(steps)
             + ". Window subsampling (SV_dense.py:404-418's 29x rescaling) "
-              "accounts for roughly a quarter of the bias; successive "
-              "bound-tightening and capacity increases shrink the rest "
-              "monotonically — the residual is the mode-seeking floor of "
-              "this variational family class on t3_vol (VI underestimates "
-              "vol-of-vol because the path family smooths).")
+              "accounts for roughly a quarter of the bias; bound-tightening "
+              "saturates at the certified reverse-KL floor (IWAE k=25 -> "
+              "DReG k=50 is flat — with PSIS k_hat ~ 2 full-path weights "
+              "the bound tightens like k^(1/k_hat - 1)); what breaks the "
+              "floor is changing the theta OBJECTIVE to forward KL on "
+              "weights the variational path family cannot contaminate "
+              "(bootstrap-PF evidence, scripts/theta_smc_refit.py).")
     iw = os.path.join(VAL_DIR, "sv_fullpath_iw25.json")
     if os.path.exists(iw):
         with open(iw) as f:
             s = json.load(f)
         if "snis" in s:
             lines.append(
-                f"Importance-weight debiasing was evaluated and is NOT "
-                f"usable here: PSIS k_hat = {s['snis']['k_hat']:.2f} "
+                f"Importance-weight debiasing over VI path weights is NOT "
+                f"usable: PSIS k_hat = {s['snis']['k_hat']:.2f} "
                 f"(ESS {s['snis']['psis_ess']:.0f} of "
                 f"{s['snis']['num_draws']}) — full-joint weights over a "
-                f"{paths['coords']}-dim path are degenerate, so the SNIS "
-                f"estimates are reported but not trusted (Yao et al. 2018 "
-                f"gate).")
+                f"{paths['coords']}-dim path are degenerate (Yao et al. "
+                f"2018 gate), and worse, their noise is theta-DEPENDENT, "
+                f"so wake-phase training on them moved the posterior the "
+                f"wrong way (validation/sv_fullpath_rws_negative.json). "
+                f"Particle-filter evidence weights (theta-independent ~1 "
+                f"nat noise, k_hat ~ 0.6-0.7 after proposal adaptation) "
+                f"are what make the round-4 refit sound.")
     lines.append(
         f"Latent path: median bias/sd {paths['bias_sd_median']:.3f} over "
         f"{paths['coords']} coords (z-fractions grow with gold ESS by "
@@ -418,12 +437,19 @@ def _fhn_notes(theta, paths, ok, judged_tag=None, gold_file=None):
     chain = [("windowed", bs.max()),
              ("exact full-path fine-tune", _study_bias("fhn_fullpath")),
              ("+ IWAE k=8", _study_bias("fhn_fullpath_iw8")),
-             ("+ IWAE k=25", _study_bias("fhn_fullpath_iw25"))]
+             ("+ IWAE k=25", _study_bias("fhn_fullpath_iw25")),
+             ("PF-evidence forward-KL theta refit",
+              _study_bias("fhn_smc_refit"))]
     steps = [f"{name} {b:.2f}" for name, b in chain if b is not None]
     if len(steps) > 1:
         lines.append(
             "Diagnosis chain (max theta bias/sd under the SAME gold): "
-            + " -> ".join(steps) + ".")
+            + " -> ".join(steps)
+            + ". The final step changes the theta objective to forward KL "
+              "on bootstrap-PF evidence weights "
+              "(scripts/theta_smc_refit.py) — see the SV notes for why "
+              "bound-tightening saturates and VI-weight wake training "
+              "points the wrong way.")
     lines.append(
         f"Path outliers: max bias/sd {paths['bias_sd_max']:.1f} "
         f"(worst coordinates listed in this JSON's paths.outliers).")

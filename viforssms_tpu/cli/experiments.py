@@ -19,6 +19,7 @@ names, checkpoints, and posterior path/theta dumps after training.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 import numpy as np
@@ -305,6 +306,123 @@ def run_fitz_nag(dat_dir="dat", out_dir="out/fitz_nag", steps=20_000,
                    skip_prior_dump=long_series)
 
 
+def run_production_ladder(kind, out_dir=None, windowed_steps=20_000,
+                          fullpath_steps=6_000, iw_k=25, objective="iwae",
+                          inner_m=1, theta_widen=1.0, rws_target_sd=0.0,
+                          pretrain=1000, sv_file="dat/SV.dat", dat_dir="dat",
+                          T=200.0, synthetic=False, export_rows=8192):
+    """One-command production posterior: the windowed -> full-path -> IWAE
+    ladder that produced the round-3/4 SV and FHN production posteriors
+    (scripts/{sv,fhn}_fullpath_study.py protocol promoted to a CLI verb;
+    VERDICT r3 item 7).
+
+    Stage 1 trains the reference-configuration windowed fit
+    (``SV_dense.py:404-418`` / ``fitz_nag_NVP.py:453-468``); stage 2 drops
+    its params into the exact full-path :class:`SequenceVIEngine` and
+    fine-tunes under ``objective`` (default the IWAE k=25 bound; "dreg" /
+    "rws" are the round-4 objectives). Both stages checkpoint independently
+    under ``<out>/windowed`` and ``<out>/fullpath`` and resume
+    automatically, so interrupting at any point loses at most one chunk.
+    Exports the production theta/path samples and a ladder.json summary.
+    """
+    import jax
+
+    from viforssms_tpu.data.io import save_paths_txt, save_theta_txt
+    from viforssms_tpu.inference.vi.sequence_train import SequenceVIEngine
+    from viforssms_tpu.utils.checkpoint import Checkpointer
+
+    assert kind in ("sv", "fhn"), kind
+    out_dir = out_dir or f"out/{kind}_production"
+    if kind == "sv":
+        weng, info = build_sv_dense(sv_file=sv_file)
+    else:
+        weng, info = build_fitz_nag(dat_dir, synthetic=synthetic, T=T)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # ---- stage 1: windowed fit (resume-aware) ----
+    wdir = os.path.join(out_dir, "windowed")
+    wckpt = Checkpointer(os.path.join(wdir, "ckpt"))
+    wmeta = os.path.join(wdir, "fit_meta.json")
+    wstate = weng.init(jax.random.key(weng.cfg.train.seed))
+    restored = wckpt.restore(wstate)
+    fit_done = 0
+    if restored is not None and int(restored.step) > 0:
+        wstate = restored
+        fit_done = int(restored.step)
+        if os.path.exists(wmeta):
+            with open(wmeta) as f:
+                fit_done = int(json.load(f)["fit_steps"])
+        print(f"[ladder/windowed] resumed (fit steps {fit_done})", flush=True)
+    else:
+        print("[ladder/windowed] pre-training...", flush=True)
+        wstate = weng.pretrain(wstate, num_steps=pretrain,
+                               finite_gate=pretrain, scan_chunk=50)
+    while fit_done < windowed_steps:
+        n = min(2_000, windowed_steps - fit_done)
+        wstate, m = weng.fit(wstate, num_steps=n, scan_chunk=250)
+        fit_done += n
+        wckpt.save(wstate)
+        with open(wmeta, "w") as f:
+            json.dump({"fit_steps": fit_done}, f)
+        print(f"[ladder/windowed] {fit_done}/{windowed_steps}: "
+              f"elbo {float(m.elbo):.6g}", flush=True)
+
+    # ---- stage 2: exact full-path fine-tune under the objective ----
+    eng = SequenceVIEngine.from_windowed(
+        weng, iw_k=iw_k, objective=objective, inner_m=inner_m,
+        theta_widen=theta_widen, rws_target_sd=rws_target_sd)
+    fdir = os.path.join(out_dir, "fullpath")
+    fckpt = Checkpointer(os.path.join(fdir, "ckpt"))
+    fmeta = os.path.join(fdir, "fit_meta.json")
+    state = eng.init(jax.random.key(weng.cfg.train.seed + 1))
+    restored = fckpt.restore(state)
+    fit_done = 0
+    if restored is not None and int(restored.step) > 0:
+        state = restored
+        fit_done = int(restored.step)
+        if os.path.exists(fmeta):
+            with open(fmeta) as f:
+                fit_done = int(json.load(f)["fit_steps"])
+        print(f"[ladder/fullpath] resumed (fit steps {fit_done})", flush=True)
+    else:
+        state = state._replace(params=wstate.params,
+                               opt_state=eng.opt.init(wstate.params))
+        print("[ladder/fullpath] warm start from windowed params", flush=True)
+    while fit_done < fullpath_steps:
+        n = min(200, fullpath_steps - fit_done)
+        state, m = eng.fit(state, num_steps=n, scan_chunk=50)
+        fit_done += n
+        fckpt.save(state)
+        with open(fmeta, "w") as f:
+            json.dump({"fit_steps": fit_done}, f)
+        print(f"[ladder/fullpath] {fit_done}/{fullpath_steps}: "
+              f"bound {float(m.elbo):.6g}", flush=True)
+
+    # ---- export the production posterior ----
+    theta = eng.sample_theta(state.params, jax.random.key(42), 20_000)
+    save_theta_txt(os.path.join(out_dir, "theta_samples.txt"), theta)
+    paths = eng.sample_posterior_paths(state.params, jax.random.key(43),
+                                       max_rows=export_rows)
+    save_paths_txt(os.path.join(out_dir, "posterior_paths.txt"), paths)
+    elbo, se = eng.estimate_elbo(state.params, jax.random.key(44), 10)
+    summary = {
+        "kind": kind,
+        "protocol": (f"windowed {windowed_steps} steps -> exact full-path "
+                     f"fine-tune {fullpath_steps} steps, objective="
+                     f"{eng.objective}"
+                     + (f" k={iw_k}" if iw_k > 1 else "")
+                     + (f" inner_m={inner_m}" if inner_m > 1 else "")),
+        "elbo_fullpath": [elbo, se],
+        "theta_mean": np.asarray(theta).mean(0).tolist(),
+        "theta_sd": np.asarray(theta).std(0).tolist(),
+    }
+    with open(os.path.join(out_dir, "ladder.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"[ladder] production posterior exported to {out_dir} "
+          f"(bound {elbo:.4f} ± {se:.4f})", flush=True)
+    return state
+
+
 def build_lv_learn_theta(dat_dir="dat/scratch", synthetic=False,
                          num_series=1024, p_val=128, learn_obs_scale=False,
                          iw_k=0, theta_stl=False):
@@ -535,6 +653,21 @@ def run_series_sweep(dat_dir="dat", out_dir="out/lv_sweep", num_series=150,
     print(f"sweep done: {num_series - len(failures)}/{num_series} ok", flush=True)
 
 
+def _add_ladder_args(sp):
+    sp.add_argument("--production-ladder", action="store_true",
+                    help="Run the windowed -> exact-full-path production "
+                         "ladder (the protocol behind the validated "
+                         "production posteriors) instead of a plain "
+                         "windowed fit; resume-aware per stage")
+    sp.add_argument("--ladder-fullpath-steps", type=int, default=6_000)
+    sp.add_argument("--ladder-iw-k", type=int, default=25)
+    sp.add_argument("--ladder-objective", default="iwae",
+                    choices=("elbo", "iwae", "dreg", "rws"))
+    sp.add_argument("--ladder-inner-m", type=int, default=1)
+    sp.add_argument("--ladder-theta-widen", type=float, default=1.0)
+    sp.add_argument("--ladder-rws-target-sd", type=float, default=0.0)
+
+
 def main(argv=None):
     from viforssms_tpu.core.platform import apply_platform_env
 
@@ -581,6 +714,7 @@ def main(argv=None):
     sv.add_argument("--steps", type=int, default=20_000)
     sv.add_argument("--pretrain", type=int, default=1000)
     sv.add_argument("--resume", action="store_true")
+    _add_ladder_args(sv)
 
     fn = sub.add_parser("fitz-nag")
     fn.add_argument("--sequence-sharded", action="store_true",
@@ -597,6 +731,7 @@ def main(argv=None):
     fn.add_argument("--T", type=float, default=100.0)
     fn.add_argument("--pretrain-gate", type=int, default=1000)
     fn.add_argument("--resume", action="store_true")
+    _add_ladder_args(fn)
     fn.add_argument("--export-rows", type=int, default=8192,
                     help="Max rows per path-export dispatch (smaller for very long series)")
 
@@ -652,16 +787,38 @@ def main(argv=None):
                        sequence_sharded=args.sequence_sharded,
                        mesh_spec=args.mesh)
     elif args.cmd == "sv-dense":
-        run_sv_dense(args.sv_file, args.out, args.steps, args.pretrain,
-                     resume=args.resume,
-                     sequence_sharded=args.sequence_sharded,
-                     mesh_spec=args.mesh)
+        if args.production_ladder:
+            run_production_ladder(
+                "sv", args.out, windowed_steps=args.steps,
+                fullpath_steps=args.ladder_fullpath_steps,
+                iw_k=args.ladder_iw_k, objective=args.ladder_objective,
+                inner_m=args.ladder_inner_m,
+                theta_widen=args.ladder_theta_widen,
+                rws_target_sd=args.ladder_rws_target_sd,
+                pretrain=args.pretrain, sv_file=args.sv_file)
+        else:
+            run_sv_dense(args.sv_file, args.out, args.steps, args.pretrain,
+                         resume=args.resume,
+                         sequence_sharded=args.sequence_sharded,
+                         mesh_spec=args.mesh)
     elif args.cmd == "fitz-nag":
-        run_fitz_nag(args.dat_dir, args.out, args.steps, args.synthetic, args.T,
-                     args.pretrain_gate, resume=args.resume,
-                     export_rows=args.export_rows,
-                     sequence_sharded=args.sequence_sharded,
-                     mesh_spec=args.mesh)
+        if args.production_ladder:
+            run_production_ladder(
+                "fhn", args.out, windowed_steps=args.steps,
+                fullpath_steps=args.ladder_fullpath_steps,
+                iw_k=args.ladder_iw_k, objective=args.ladder_objective,
+                inner_m=args.ladder_inner_m,
+                theta_widen=args.ladder_theta_widen,
+                rws_target_sd=args.ladder_rws_target_sd,
+                pretrain=args.pretrain_gate, dat_dir=args.dat_dir,
+                T=args.T, synthetic=args.synthetic,
+                export_rows=args.export_rows)
+        else:
+            run_fitz_nag(args.dat_dir, args.out, args.steps, args.synthetic,
+                         args.T, args.pretrain_gate, resume=args.resume,
+                         export_rows=args.export_rows,
+                         sequence_sharded=args.sequence_sharded,
+                         mesh_spec=args.mesh)
     elif args.cmd == "lv-learn-theta":
         run_lv_learn_theta(args.dat_dir, args.out, args.epochs,
                            args.pre_train_epochs, args.synthetic,

@@ -139,7 +139,7 @@ def pmmh(
         accepts=accepts,
         accept_rate=np.asarray(post.mean() if num_steps > warmup else 0.0,
                                np.float32),
-        step_scale=np.exp(np.asarray(carry[2])),
+        step_scale=np.asarray(np.exp(np.asarray(carry[2]))),
     )
 
 
@@ -187,7 +187,7 @@ def pmmh_chains(key, log_evidence_fn, log_prior_fn, theta0s, num_steps: int,
         accepts=accepts,
         accept_rate=np.asarray(
             post.mean(axis=1) if num_steps > warmup else np.zeros(C, np.float32)),
-        step_scale=np.exp(np.asarray(carry[2])),
+        step_scale=np.asarray(np.exp(np.asarray(carry[2]))),
     )
 
 

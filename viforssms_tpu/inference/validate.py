@@ -172,6 +172,94 @@ def compare_moments(draws_a, draws_b, ess_a=None, ess_b=None) -> MomentCompariso
                             e_a, e_b)
 
 
+def sv_smc_evidence(model, obs, x0_lat, theta, n_particles, key):
+    """Bootstrap-PF marginal likelihood ``log p_hat(y_{1:T} | theta)`` for
+    the SV model (``SV_dense.py:203-234`` semantics: the likelihood lives
+    entirely in the observed dim-1 price-transition density; there is no
+    separate observation term).
+
+    Particles are the latent log-vol path; at step t the particle weight is
+    the exactly-observed price transition N(y_t; y_{t-1} + dt*t0*y_{t-1},
+    dt*(y_{t-1} e^{v_{t-1}/2})^2), then particles resample and propagate
+    through the vol transition. The estimate is unbiased for p(y | theta)
+    and — unlike the VI-importance estimates — INDEPENDENT of the
+    variational path family, which makes it the right weight source for
+    forward-KL theta training: the path-flow's theta-dependent fit quality
+    cannot leak into the theta ranking (measured round 4: VI-importance
+    wake weights amplified the reverse-KL bias instead of correcting it).
+
+    ``theta``: (4,) one parameter draw; vmap over a leading axis for
+    batches. Matches the joint the NUTS gold samples (x0_lat fixed,
+    ``scripts/objective_floor.py::_log_joint_fn``)."""
+    import jax
+
+    from viforssms_tpu.distributions.normal import normal_logpdf
+    from viforssms_tpu.inference.smc.bootstrap import systematic_resample
+
+    obs = jnp.asarray(obs, jnp.float32)          # (T+1,) incl. the x0 price
+    t0, t1, t2, t3 = theta[0], theta[1], theta[2], theta[3]
+    dt = model.dt
+    sdt = jnp.sqrt(jnp.asarray(dt, jnp.float32))
+    n = n_particles
+
+    def step(carry, inp):
+        v, log_z, k = carry
+        yp, yn = inp
+        k, k_res, k_prop = jax.random.split(k, 3)
+        m = yp + dt * t0 * yp
+        s = sdt * jnp.abs(yp) * jnp.exp(0.5 * v)
+        lw = normal_logpdf(jnp.full((n,), yn), m, s)
+        log_z = log_z + jax.nn.logsumexp(lw) - jnp.log(float(n))
+        v = jnp.take(v, systematic_resample(k_res, lw))
+        v = (v + dt * (t1 - jnp.exp(t2) * v)
+             + sdt * jnp.exp(t3) * jax.random.normal(k_prop, (n,)))
+        return (v, log_z, k), None
+
+    v0 = jnp.full((n,), jnp.asarray(x0_lat, jnp.float32))
+    (_, log_z, _), _ = jax.lax.scan(
+        step, (v0, jnp.zeros(()), key), (obs[:-1], obs[1:]))
+    return log_z
+
+
+def ssm2d_smc_evidence(model, obs, obs_bin, x0, theta, n_particles, key):
+    """Bootstrap-PF marginal likelihood ``log p_hat(y | theta)`` for a 2-D
+    partially-observed SSM (FHN: masked N(x, obs_std) observations,
+    ``fitz_nag_NVP.py:233-234``): particles propagate through the model's
+    own ``predictive_step`` Euler-Maruyama kernel and reweight/resample on
+    steps where either dim is observed. Independent of the variational path
+    family — the forward-KL theta weight source (see
+    :func:`sv_smc_evidence`). ``theta``: one (D,) draw; vmap for batches."""
+    import jax
+
+    from viforssms_tpu.distributions.normal import normal_logpdf
+    from viforssms_tpu.inference.smc.bootstrap import systematic_resample
+
+    obs = jnp.asarray(obs, jnp.float32)           # (2, T)
+    obs_bin = jnp.asarray(obs_bin, jnp.float32)   # (2, T)
+    n = n_particles
+    theta_tile = jnp.tile(theta[None, :], (n, 1))
+
+    def step(carry, inp):
+        x, log_z, k = carry                       # x: (n, 2)
+        y, m = inp                                # (2,), (2,)
+        k, k_prop, k_res = jax.random.split(k, 3)
+        x = model.predictive_step(k_prop, x, theta_tile)
+        lp = jnp.where(m[None, :] > 0,
+                       normal_logpdf(y[None, :], x, model.obs_std), 0.0)
+        lw = jnp.sum(lp, axis=1)
+        any_obs = jnp.max(m) > 0
+        log_z = log_z + jnp.where(
+            any_obs, jax.nn.logsumexp(lw) - jnp.log(float(n)), 0.0)
+        resampled = jnp.take(x, systematic_resample(k_res, lw), axis=0)
+        x = jnp.where(any_obs, resampled, x)
+        return (x, log_z, k), None
+
+    x0v = jnp.broadcast_to(jnp.asarray(x0, jnp.float32)[None, :], (n, 2))
+    (_, log_z, _), _ = jax.lax.scan(
+        step, (x0v, jnp.zeros(()), key), (obs.T, obs_bin.T))
+    return log_z
+
+
 def smc_evidence_for_model(model, obs, obs_bin, x0, theta, n_particles, key):
     """Bootstrap-SMC evidence log p(y | theta) using the model's own
     ``transition_sample`` and observation density."""

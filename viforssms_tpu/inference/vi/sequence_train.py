@@ -383,6 +383,22 @@ class SequenceVIEngine:
     # weights at rws_clip * mean(weight) before normalizing (0 = off).
     # Bounds the worst-case single-sample pull at the cost of some bias.
     rws_clip: float = 0.0
+    # Mask ALL theta-flow parameter updates (path-only fine-tuning, e.g.
+    # re-matching the path flow to a theta posterior that was refit
+    # externally — inference/vi/theta_refit.py). Changes the optimizer
+    # pytree (chained mask), so restore warm params into a fresh opt state.
+    freeze_theta: bool = False
+    # "rws" adaptive weight TEMPERING (0 = off): rescale centered
+    # log-weights by beta = min(1, target_sd / sd(log w)) before
+    # normalizing. Measured necessity: even marginalized (inner_m=8)
+    # full-path weights have PSIS k_hat ~ 1.97 / ESS ~ 2 per 1000 at the SV
+    # config — untempered wake updates would chase single extreme path
+    # draws. Tempering targets the geometric bridge q^(1-beta) p^beta each
+    # step; iterating the wake update still has q = p as its fixed point
+    # (at q = p the weights are uniform), it just converges damped — each
+    # step now runs at a controlled effective ESS. 1.5-2.5 are sane
+    # targets.
+    rws_target_sd: float = 0.0
     # Skip parameter updates whose gradients are non-finite (optax.
     # apply_if_finite). Cold full-path training can produce a single inf
     # gradient from an extreme-tail particle (a full-path SDE term is ~T/b
@@ -454,6 +470,13 @@ class SequenceVIEngine:
             beta2=cfg.train.beta2,
             grad_clip=cfg.train.grad_clip,
         )
+        if self.freeze_theta:
+            def _theta_mask(params):
+                return {k: jax.tree_util.tree_map(lambda _: k == "theta", v)
+                        for k, v in params.items()}
+
+            self.opt = optax.chain(
+                self.opt, optax.masked(optax.set_to_zero(), _theta_mask))
         if self.skip_nonfinite_updates:
             self.opt = optax.apply_if_finite(self.opt,
                                              max_consecutive_errors=10_000)
@@ -659,6 +682,14 @@ class SequenceVIEngine:
                 params, k_p, theta_s, sg(theta_lq_u))
             loss_path = self._bound_loss(lw, k_g)
             lw_sg = sg(lw)
+            if self.rws_target_sd > 0.0:
+                fin = jnp.isfinite(lw_sg)
+                n_f = jnp.maximum(jnp.sum(fin), 1).astype(lw_sg.dtype)
+                mu = jnp.sum(jnp.where(fin, lw_sg, 0.0)) / n_f
+                sd = jnp.sqrt(jnp.sum(jnp.where(fin, (lw_sg - mu) ** 2,
+                                                0.0)) / n_f + 1e-12)
+                beta = jnp.minimum(1.0, self.rws_target_sd / sd)
+                lw_sg = jnp.where(fin, mu + beta * (lw_sg - mu), lw_sg)
             if self.rws_clip > 0.0:
                 # truncated self-normalized weights: cap at clip * mean
                 lme, _ = masked_group_logsumexp(lw_sg, k_g, True)
