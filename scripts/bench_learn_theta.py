@@ -59,17 +59,22 @@ def measure(num_series: int = 256, p_val: int = 128, epochs: int = 8,
         for i in range(0, num_series - p_val + 1, p_val)
     ])
 
-    # --- production: scanned epochs ---
+    # --- production: multi-epoch scanned dispatches (train_epochs) ---
+    # an epoch at this shape is only num_series/p = 2 batches; dispatching
+    # per epoch pays ~25 ms of tunnel overhead for ~7 ms of compute
+    # (docs/RESULTS.md dispatch study), so production scans many epochs
+    # per dispatch (fit_epochs scan_epochs)
+    scan_ep = max(epochs, 32)
     state = prod.init(jax.random.key(0))
-    state, ms = prod.train_epoch(state, idx_mat)        # compile
-    float(ms.elbo[-1])
+    state, _, ms = prod.train_epochs(state, idx_mat, scan_ep)   # compile
+    float(ms.elbo)
     rates = []
-    for i in range(epochs):
+    for i in range(4):
         t0 = time.perf_counter()
-        state, ms = prod.train_epoch(state, idx_mat)
-        float(ms.elbo[-1])                              # completion fence
+        state, _, ms = prod.train_epochs(state, idx_mat, scan_ep)
+        float(ms.elbo)                                  # completion fence
         if i > 0:
-            rates.append(per_epoch / (time.perf_counter() - t0))
+            rates.append(scan_ep * per_epoch / (time.perf_counter() - t0))
     rates.sort()
     prod_sps = rates[len(rates) // 2]
 
@@ -92,7 +97,8 @@ def measure(num_series: int = 256, p_val: int = 128, epochs: int = 8,
         "baseline_steps_per_sec": round(ref_sps, 3),
         "config": f"p={p_val}, kext={eng.spec.kernel_ext}, "
                   f"{num_series} series, aligned+stacked+bf16, "
-                  f"epoch-scanned ({per_epoch} steps/dispatch)",
+                  f"multi-epoch-scanned ({scan_ep} epochs = "
+                  f"{scan_ep * per_epoch} steps/dispatch)",
         "baseline_loop_shape": "per-batch dispatch + per-step loss fetch "
                                "(..._learn_theta.py:623-707 tf.data loop)",
     }

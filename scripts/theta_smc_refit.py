@@ -57,6 +57,14 @@ def main():
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--draws-per-round", type=int, default=2048)
     ap.add_argument("--particles", type=int, default=512)
+    ap.add_argument("--proposal-batch", type=int, default=256,
+                    help="thetas per evidence dispatch (this environment's "
+                         "TPU worker kills multi-minute executions — keep "
+                         "batch * particles * T bounded)")
+    ap.add_argument("--crn", action="store_true",
+                    help="common random numbers: one evidence key per "
+                         "round shared across thetas (relative-weight "
+                         "variance reduction for noisy-evidence configs)")
     ap.add_argument("--widen", type=float, default=2.0)
     ap.add_argument("--fit-steps", type=int, default=400)
     ap.add_argument("--lr", type=float, default=3e-3)
@@ -104,13 +112,19 @@ def main():
             return ssm2d_smc_evidence(model, obs, obs_bin,
                                       np.asarray(x0, np.float32), th, N, k)
 
-    ev_batch = jax.jit(lambda th, k: jax.vmap(ev_one)(
-        th, jax.random.split(k, th.shape[0])))
+    if args.crn:
+        ev_batch = jax.jit(lambda th, k: jax.vmap(lambda t: ev_one(t, k))(th))
+    else:
+        ev_batch = jax.jit(lambda th, k: jax.vmap(ev_one)(
+            th, jax.random.split(k, th.shape[0])))
 
-    # evidence-noise floor at a reference theta (repeat-key sd)
+    # evidence-noise floor at a reference theta (always split keys, even
+    # under --crn — this measures the filter's own noise)
+    ev_probe = jax.jit(lambda th, k: jax.vmap(ev_one)(
+        th, jax.random.split(k, th.shape[0])))
     anchor = jnp.asarray(model.pretrain_theta_anchor, jnp.float32)
     reps = jnp.tile(anchor[None, :], (16, 1))
-    e = np.asarray(ev_batch(reps, jax.random.key(3)), np.float64)
+    e = np.asarray(ev_probe(reps, jax.random.key(3)), np.float64)
     noise_sd = float(e.std())
     print(f"evidence noise at anchor theta (N={N}): sd {noise_sd:.3f} nats",
           flush=True)
@@ -121,8 +135,9 @@ def main():
     params_theta, hist = refit_theta_forward_kl(
         eng.theta_flow, state.params["theta"], log_joint_fn,
         jax.random.key(17), rounds=args.rounds,
-        draws_per_round=args.draws_per_round, widen=args.widen,
-        learning_rate=args.lr, fit_steps=args.fit_steps)
+        draws_per_round=args.draws_per_round,
+        proposal_batch=args.proposal_batch, widen=args.widen,
+        learning_rate=args.lr, fit_steps=args.fit_steps, crn=args.crn)
     params = dict(state.params)
     params["theta"] = params_theta
     state = state._replace(params=params)
@@ -167,7 +182,9 @@ def main():
                      f"{args.rounds} rounds of SNIS forward-KL MLE on "
                      f"bootstrap-PF evidence (N={N}, "
                      f"{args.draws_per_round} draws/round, widen "
-                     f"{args.widen}, truncated weights)"
+                     f"{args.widen}, truncated weights"
+                     + (", common-random-number evidence keys"
+                        if args.crn else "") + ")"
                      + (f"; + {args.path_steps} frozen-theta path "
                         f"fine-tune steps" if args.path_steps else "")),
         "evidence_noise_sd_nats": noise_sd,

@@ -1,6 +1,7 @@
 """Batched multi-series learn-theta pipeline (terminal reference variant)."""
 
 import jax
+import jax.flatten_util
 import numpy as np
 import pytest
 
@@ -87,3 +88,41 @@ def test_series_epoch_training_learned_obs_scale():
     th = eng.sample_theta(state.params, jax.random.key(2), 128)
     assert th.shape == (128, 4)
     assert np.all(th > 0) and np.all(np.isfinite(th))
+
+
+def test_scanned_epochs_match_per_epoch_dispatch():
+    """train_epochs(n) (one dispatch) must reproduce n train_epoch calls
+    exactly — the production multi-epoch scan is a pure dispatch-shape
+    change (round 4: per-epoch dispatch paid ~25 ms tunnel tax per 2-batch
+    epoch at the bench shape)."""
+    num_series, target = 8, 20
+    obs, obs_bin, tt = _multi_series(num_series=num_series, target=target)
+    tables, spec = series_tables(obs, obs_bin, tt, num_series, kernel_len=4,
+                                 no_flows=3, feat_window=3, x0=(91.0, 99.0),
+                                 dt=0.2)
+    cfg = VIConfig(
+        p=4, batch_dims=target, T=target,
+        flow=FlowConfig(kernel_len=4, no_flows=3, network_dims=(8, 8, 8),
+                        feat_window=3, flow_dims=2, mu_softplus=True),
+        train=TrainConfig(learn_rate=1e-3, grad_clip=1e9, nan_mask_loss=True),
+        theta_num_bijectors=3, theta_softplus=True,
+    )
+    model = LotkaVolterraLearnTheta(dt=0.2, x0_mean=(91.0, 99.0),
+                                    x0_std=(1.0, 1.0))
+    eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec,
+                   use_norm=True, donate=False)
+    idx_mat = np.stack([np.arange(0, 4, dtype=np.int32),
+                        np.arange(4, 8, dtype=np.int32)])
+    s0 = eng.init(jax.random.key(0))
+    sa = s0
+    elbos = []
+    for _ in range(3):
+        sa, ms = eng.train_epoch(sa, idx_mat)
+        elbos.append(float(np.mean(np.asarray(ms.elbo))))
+    sb, epoch_elbo, last = eng.train_epochs(s0, idx_mat, 3)
+    np.testing.assert_allclose(np.asarray(epoch_elbo), np.asarray(elbos),
+                               rtol=1e-6)
+    fa = np.asarray(jax.flatten_util.ravel_pytree(sa.params)[0])
+    fb = np.asarray(jax.flatten_util.ravel_pytree(sb.params)[0])
+    np.testing.assert_allclose(fb, fa, rtol=1e-6, atol=1e-7)
+    assert int(sb.step) == int(sa.step) == 6

@@ -55,7 +55,8 @@ def refit_theta_forward_kl(theta_flow, params_theta, log_joint_fn: Callable,
                            key, *, rounds: int = 3, draws_per_round: int = 2048,
                            proposal_batch: int = 256, widen: float = 2.0,
                            learning_rate: float = 3e-3, fit_steps: int = 400,
-                           truncate: bool = True, verbose: bool = True):
+                           truncate: bool = True, crn: bool = False,
+                           verbose: bool = True):
     """Iteratively refit ``theta_flow`` params by SNIS-weighted MLE.
 
     ``log_joint_fn(key, theta (n, D)) -> (n,)`` must return
@@ -65,6 +66,12 @@ def refit_theta_forward_kl(theta_flow, params_theta, log_joint_fn: Callable,
 
     ``truncate`` caps raw weights at ``mean * sqrt(n)`` (Ionides 2008) so a
     single lucky draw cannot dominate a round's MLE target.
+
+    ``crn`` shares ONE evidence PRNG key across every theta of a round
+    (common random numbers): the filter's resampling/propagation noise is
+    then correlated across thetas, so RELATIVE weights — all SNIS needs —
+    carry far less noise than the absolute evidence sd suggests. The right
+    setting for noisy-evidence configs (FHN's sparse tight observations).
 
     Returns ``(params_theta, [RefitRound, ...])``.
     """
@@ -101,10 +108,11 @@ def refit_theta_forward_kl(theta_flow, params_theta, log_joint_fn: Callable,
     for r in range(rounds):
         thetas, lws = [], []
         n_batches = draws_per_round // proposal_batch
+        key, k_round = jax.random.split(key)
         for b in range(n_batches):
             key, k1, k2 = jax.random.split(key, 3)
             th, lq = draw(params_theta, k1)
-            lj = log_joint_fn(k2, th)
+            lj = log_joint_fn(k_round if crn else k2, th)
             thetas.append(np.asarray(th))
             lws.append(np.asarray(lj, np.float64) - np.asarray(lq, np.float64))
         th = np.concatenate(thetas)

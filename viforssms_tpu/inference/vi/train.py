@@ -458,6 +458,41 @@ class VIEngine:
             state, (losses, finites) = jax.lax.scan(body, state, idx_mat)
             return state, losses, finites
 
+        def train_epochs(state: TrainState, tables, stacked, idx_mat,
+                         num_epochs: int):
+            """MANY epochs in one compiled dispatch (nested scan).
+
+            The tunneled accelerator costs ~25 ms of dispatch/queueing per
+            device call (docs/RESULTS.md dispatch study); at the production
+            learn-theta shape an epoch is only num_series/p batches (2 at
+            the bench config), so the per-EPOCH dispatch of ``train_epoch``
+            pays ~12.5 ms/step of pure tunnel tax — ~77% of the measured
+            step. Scanning epochs amortizes it to nothing. Per-epoch mean
+            ELBO (``..._learn_theta.py:713-717``) comes back as an array;
+            metrics of the final batch of the final epoch as StepMetrics."""
+            def epoch_body(s, _):
+                def body(ss, idx):
+                    ss, m = train_step_at(ss, tables, stacked, idx)
+                    return ss, m
+
+                s, ms = jax.lax.scan(body, s, idx_mat)
+                return s, (jnp.mean(ms.elbo),
+                           jax.tree.map(lambda a: a[-1], ms))
+
+            state, (epoch_elbo, ms) = jax.lax.scan(
+                epoch_body, state, None, length=num_epochs)
+            return state, epoch_elbo, jax.tree.map(lambda a: a[-1], ms)
+
+        def pretrain_epochs(state: TrainState, tables, stacked, idx_mat,
+                            num_epochs: int):
+            def epoch_body(s, _):
+                s, losses, finites = pretrain_epoch(s, tables, stacked, idx_mat)
+                return s, (losses[-1], jnp.all(finites))
+
+            state, (losses, finites) = jax.lax.scan(
+                epoch_body, state, None, length=num_epochs)
+            return state, losses, finites
+
         _train_step = jax.jit(prec(train_step), donate_argnums=donate)
         _train_epoch = jax.jit(prec(train_epoch), donate_argnums=donate)
         _pretrain_epoch = jax.jit(prec(pretrain_epoch), donate_argnums=donate)
@@ -477,10 +512,18 @@ class VIEngine:
         self.pretrain_step = lambda state: _pretrain_step(state, self.tables, self._stacked)
         self.pretrain_many = lambda state, n: _pretrain_many(
             state, self.tables, self._stacked, n)
+        _train_epochs = jax.jit(prec(train_epochs), static_argnums=4,
+                                donate_argnums=donate)
+        _pretrain_epochs = jax.jit(prec(pretrain_epochs), static_argnums=4,
+                                   donate_argnums=donate)
         self.train_epoch = lambda state, idx: _train_epoch(
             state, self.tables, self._stacked, idx)
         self.pretrain_epoch = lambda state, idx: _pretrain_epoch(
             state, self.tables, self._stacked, idx)
+        self.train_epochs = lambda state, idx, n: _train_epochs(
+            state, self.tables, self._stacked, idx, n)
+        self.pretrain_epochs = lambda state, idx, n: _pretrain_epochs(
+            state, self.tables, self._stacked, idx, n)
         self.pretrain_step_at = lambda state, starts: _pretrain_step_at(
             state, self.tables, self._stacked, starts)
         self.eval_terms = lambda params, key, starts: _eval_terms(
@@ -564,10 +607,16 @@ class VIEngine:
 
     def fit_epochs(self, state: TrainState, num_epochs: int, pre_train_epochs: int = 0,
                    logger=None, checkpointer=None, checkpoint_every: int = 100,
-                   should_stop=None):
+                   should_stop=None, scan_epochs: int = 0):
         """Epoch training over the series axis: each epoch iterates all series
         in deterministic batches of p (the tf.data loop of
-        ``..._learn_theta.py:602-731``). Requires series-mode tables."""
+        ``..._learn_theta.py:602-731``). Requires series-mode tables.
+
+        ``scan_epochs > 1`` runs that many epochs per device dispatch
+        (``train_epochs`` nested scan) — the production setting on a
+        tunneled accelerator, where per-dispatch overhead otherwise
+        dominates a 2-batch epoch (docs/RESULTS.md dispatch study);
+        logging/checkpoint cadence then applies per chunk."""
         assert self.series_mode, "fit_epochs requires series-axis tables"
         p = self.cfg.p
         group = self.iw_k if self.iw_k > 1 else 1
@@ -578,21 +627,33 @@ class VIEngine:
         ]
         idx_mat = jnp.asarray(np.stack(batches))  # (B, p)
         last = None
-        for epoch in range(num_epochs):
+        epoch = 0
+        while epoch < num_epochs:
             if should_stop is not None and should_stop():
                 break
             pre = epoch < pre_train_epochs
             rec = {"epoch": epoch, "pretrain": float(pre)}
+            phase_end = pre_train_epochs if pre else num_epochs
+            n = (min(scan_epochs, phase_end - epoch)
+                 if scan_epochs and scan_epochs > 1 else 1)
             if pre:
-                state, losses, _ = self.pretrain_epoch(state, idx_mat)
+                if n > 1:
+                    state, losses, _ = self.pretrain_epochs(state, idx_mat, n)
+                else:
+                    state, losses, _ = self.pretrain_epoch(state, idx_mat)
                 rec["pretrain_loss"] = float(losses[-1])
+            elif n > 1:
+                state, epoch_elbo, last = self.train_epochs(state, idx_mat, n)
+                rec["epoch_ELBO"] = float(epoch_elbo[-1])
             else:
                 state, ms = self.train_epoch(state, idx_mat)
                 last = jax.tree.map(lambda a: a[-1], ms)
                 rec["epoch_ELBO"] = float(jnp.mean(ms.elbo))  # ..._learn_theta.py:713-717
+            epoch += n
             if logger is not None:
                 logger.write(int(state.step), rec)
-            if checkpointer is not None and (epoch + 1) % checkpoint_every == 0:
+            if checkpointer is not None and (
+                    epoch % checkpoint_every < n or n >= checkpoint_every):
                 checkpointer.save(state)
         return state, last
 
