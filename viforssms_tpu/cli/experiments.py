@@ -310,7 +310,10 @@ def run_production_ladder(kind, out_dir=None, windowed_steps=20_000,
                           fullpath_steps=6_000, iw_k=25, objective="iwae",
                           inner_m=1, theta_widen=1.0, rws_target_sd=0.0,
                           pretrain=1000, sv_file="dat/SV.dat", dat_dir="dat",
-                          T=200.0, synthetic=False, export_rows=8192):
+                          T=200.0, synthetic=False, export_rows=8192,
+                          smc_refit=False, refit_rounds=3,
+                          refit_particles=None, refit_proposal_batch=None,
+                          refit_draws=1024, refit_widen=None):
     """One-command production posterior: the windowed -> full-path -> IWAE
     ladder that produced the round-3/4 SV and FHN production posteriors
     (scripts/{sv,fhn}_fullpath_study.py protocol promoted to a CLI verb;
@@ -320,10 +323,14 @@ def run_production_ladder(kind, out_dir=None, windowed_steps=20_000,
     (``SV_dense.py:404-418`` / ``fitz_nag_NVP.py:453-468``); stage 2 drops
     its params into the exact full-path :class:`SequenceVIEngine` and
     fine-tunes under ``objective`` (default the IWAE k=25 bound; "dreg" /
-    "rws" are the round-4 objectives). Both stages checkpoint independently
-    under ``<out>/windowed`` and ``<out>/fullpath`` and resume
-    automatically, so interrupting at any point loses at most one chunk.
-    Exports the production theta/path samples and a ladder.json summary.
+    "rws" are the round-4 objectives); stage 3 (``smc_refit=True``, the
+    full round-4 production protocol) refits the theta flow by forward-KL
+    MLE on bootstrap-particle-filter evidence weights
+    (``inference/vi/theta_refit.py`` — the step that beat the certified
+    reverse-KL floor on SV). All stages checkpoint independently under
+    ``<out>/{windowed,fullpath}`` and resume automatically, so
+    interrupting at any point loses at most one chunk. Exports the
+    production theta/path samples and a ladder.json summary.
     """
     import jax
 
@@ -398,6 +405,55 @@ def run_production_ladder(kind, out_dir=None, windowed_steps=20_000,
         print(f"[ladder/fullpath] {fit_done}/{fullpath_steps}: "
               f"bound {float(m.elbo):.6g}", flush=True)
 
+    # ---- stage 3 (optional): PF-evidence forward-KL theta refit ----
+    refit_note = ""
+    if smc_refit:
+        from viforssms_tpu.inference.validate import (
+            ssm2d_smc_evidence,
+            sv_smc_evidence,
+        )
+        from viforssms_tpu.inference.vi.theta_refit import (
+            refit_theta_forward_kl,
+        )
+
+        model = eng.model
+        if kind == "sv":
+            N = refit_particles or 512
+            pb = refit_proposal_batch or 256
+            wd = refit_widen or 2.0
+            obs, x0l = info["obs"], info["x0"]
+
+            def ev_one(th, k):
+                return sv_smc_evidence(model, obs, x0l, th, N, k)
+        else:
+            N = refit_particles or 2048
+            pb = refit_proposal_batch or 32
+            wd = refit_widen or 1.5
+            obs, obs_bin = info["obs"], info["obs_bin"]
+            x0v = np.asarray(info["x0"], np.float32)
+
+            def ev_one(th, k):
+                return ssm2d_smc_evidence(model, obs, obs_bin, x0v, th, N, k)
+
+        ev_batch = jax.jit(lambda th, k: jax.vmap(ev_one)(
+            th, jax.random.split(k, th.shape[0])))
+
+        def log_joint_fn(k, th):
+            return ev_batch(th, k) + model.log_prior(th)
+
+        print(f"[ladder/refit] PF-evidence forward-KL theta refit "
+              f"({refit_rounds} rounds, N={N})", flush=True)
+        params_theta, hist = refit_theta_forward_kl(
+            eng.theta_flow, state.params["theta"], log_joint_fn,
+            jax.random.key(weng.cfg.train.seed + 2), rounds=refit_rounds,
+            draws_per_round=refit_draws, proposal_batch=pb, widen=wd)
+        params = dict(state.params)
+        params["theta"] = params_theta
+        state = state._replace(params=params)
+        fckpt.save(state)
+        refit_note = (f" -> PF-evidence theta refit ({refit_rounds} rounds,"
+                      f" N={N}, final k_hat {hist[-1].k_hat:.2f})")
+
     # ---- export the production posterior ----
     theta = eng.sample_theta(state.params, jax.random.key(42), 20_000)
     save_theta_txt(os.path.join(out_dir, "theta_samples.txt"), theta)
@@ -411,7 +467,8 @@ def run_production_ladder(kind, out_dir=None, windowed_steps=20_000,
                      f"fine-tune {fullpath_steps} steps, objective="
                      f"{eng.objective}"
                      + (f" k={iw_k}" if iw_k > 1 else "")
-                     + (f" inner_m={inner_m}" if inner_m > 1 else "")),
+                     + (f" inner_m={inner_m}" if inner_m > 1 else "")
+                     + refit_note),
         "elbo_fullpath": [elbo, se],
         "theta_mean": np.asarray(theta).mean(0).tolist(),
         "theta_sd": np.asarray(theta).std(0).tolist(),
@@ -666,6 +723,11 @@ def _add_ladder_args(sp):
     sp.add_argument("--ladder-inner-m", type=int, default=1)
     sp.add_argument("--ladder-theta-widen", type=float, default=1.0)
     sp.add_argument("--ladder-rws-target-sd", type=float, default=0.0)
+    sp.add_argument("--ladder-smc-refit", action="store_true",
+                    help="Stage 3: forward-KL theta refit on bootstrap-PF "
+                         "evidence weights (the round-4 production "
+                         "protocol that beat the reverse-KL floor)")
+    sp.add_argument("--ladder-refit-rounds", type=int, default=3)
 
 
 def main(argv=None):
@@ -795,7 +857,9 @@ def main(argv=None):
                 inner_m=args.ladder_inner_m,
                 theta_widen=args.ladder_theta_widen,
                 rws_target_sd=args.ladder_rws_target_sd,
-                pretrain=args.pretrain, sv_file=args.sv_file)
+                pretrain=args.pretrain, sv_file=args.sv_file,
+                smc_refit=args.ladder_smc_refit,
+                refit_rounds=args.ladder_refit_rounds)
         else:
             run_sv_dense(args.sv_file, args.out, args.steps, args.pretrain,
                          resume=args.resume,
@@ -812,7 +876,9 @@ def main(argv=None):
                 rws_target_sd=args.ladder_rws_target_sd,
                 pretrain=args.pretrain_gate, dat_dir=args.dat_dir,
                 T=args.T, synthetic=args.synthetic,
-                export_rows=args.export_rows)
+                export_rows=args.export_rows,
+                smc_refit=args.ladder_smc_refit,
+                refit_rounds=args.ladder_refit_rounds)
         else:
             run_fitz_nag(args.dat_dir, args.out, args.steps, args.synthetic,
                          args.T, args.pretrain_gate, resume=args.resume,
