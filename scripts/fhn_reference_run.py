@@ -86,9 +86,18 @@ def main():
     state = eng.init(jax.random.key(1))
     restored = ckpt.restore(state)
     if restored is not None and int(restored.step) > 0:
-        state = restored
         with open(meta_path) as f:
-            fit_done = int(json.load(f)["fit_steps"])
+            meta = json.load(f)
+        # review r4: a checkpoint trained on the raw-time feature table has
+        # identical parameter shapes but incompatible weights (inputs differ
+        # by 1e5x) — refuse to continue it silently
+        if not meta.get("normalize_time", False):
+            raise SystemExit(
+                "validation/fhn_ref checkpoint predates normalize_time "
+                "(raw-time feature table); delete validation/fhn_ref and "
+                "restart — resuming would mix feature conventions")
+        state = restored
+        fit_done = int(meta["fit_steps"])
         print(f"resumed at step {int(state.step)} (fit steps {fit_done})",
               flush=True)
     else:
@@ -99,7 +108,7 @@ def main():
               f"at step {int(state.step)}", flush=True)
         ckpt.save(state)
         with open(meta_path, "w") as f:
-            json.dump({"fit_steps": 0}, f)
+            json.dump({"fit_steps": 0, "normalize_time": True}, f)
 
     # ELBO curve accumulates across resumes
     curve = []
@@ -131,7 +140,7 @@ def main():
             f.write(json.dumps(rec) + "\n")
         ckpt.save(state)
         with open(meta_path, "w") as f:
-            json.dump({"fit_steps": fit_done}, f)
+            json.dump({"fit_steps": fit_done, "normalize_time": True}, f)
         print(f"  {fit_done}/{args.steps}: elbo {rec['elbo']:.6g} "
               f"({rec['steps_per_s']} steps/s)", flush=True)
         # plateau check on the last two spans

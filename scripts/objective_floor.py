@@ -53,7 +53,8 @@ VAL_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 
 def _gold_draws(cfg):
-    cands = sorted(glob.glob(os.path.join(VAL_DIR, cfg, "gold_joint_nuts*.npz")))
+    cands = sorted(glob.glob(os.path.join(VAL_DIR, cfg, "gold_joint_nuts*.npz")),
+                   key=os.path.getmtime)  # newest gold (review r4)
     assert cands, f"run validate_baseline.py {cfg} first"
     with np.load(cands[-1]) as z:
         g = z["gold"]                                  # (n, C, D)

@@ -30,7 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # FLOP model + peak table live in the library so bench.py shares them
 # (viforssms_tpu/utils/roofline.py, round 4)
-from viforssms_tpu.utils.roofline import PEAK, flow_step_flops  # noqa: E402
+from viforssms_tpu.utils.roofline import (  # noqa: E402
+    device_peak,
+    engine_step_flops,
+)
 
 
 def main():
@@ -76,16 +79,12 @@ def main():
             state, ms = eng.train_many(state, 20)
             jax.block_until_ready(state.params)
 
-    # analytic FLOPs: forward + ~2x backward on the matmul path
+    # analytic FLOPs (fwd + dgrad + wgrad), shared with bench.py
     fw = cfg.flow
     spec = eng.spec
     F = int(eng.tables.feat.shape[-1])
-    fwd = flow_step_flops(
-        p=cfg.p, kernel_ext=spec.kernel_ext, F=F, w0=fw.network_dims[0],
-        n_feat_layers=4, kernel_len=fw.kernel_len,
-        n_tower=len(fw.network_dims[1:-1]), no_flows=fw.no_flows,
-        flow_dims=fw.flow_dims, theta_dim=eng.model.theta_dim)
-    total = 3 * fwd                      # fwd + dgrad + wgrad
+    total = engine_step_flops(eng)
+    fwd = total // 3
     achieved_tflops = total * sps / 1e12
 
     # HBM traffic per step (lower bound): feature gathers + activations
@@ -95,15 +94,9 @@ def main():
     gather_bytes = 4 * cfg.p * spec.kernel_ext * F
     hbm_gbps = (3 * act_bytes + gather_bytes) * sps / 1e9
 
-    # device_kind carries the marketing name ("TPU v5 lite") on every JAX TPU
-    # backend; str(device) is "TPU_0(process=0,...)" on standard backends and
-    # would silently miss the PEAK table (ADVICE r2)
     d0 = jax.devices()[0]
     dev = f"{getattr(d0, 'device_kind', '')} {d0}".lower()
-    peak = None
-    for k, v in PEAK.items():
-        if k in dev:
-            peak = v
+    peak = device_peak(d0)
     out = {
         "config": f"lv-learn-theta p={cfg.p} kext={spec.kernel_ext} "
                   f"net={fw.network_dims} series={args.num_series}",

@@ -46,7 +46,8 @@ from validate_baseline import (  # noqa: E402
 
 def _load_gold():
     cands = sorted(glob.glob(os.path.join(VAL_DIR, "sv",
-                                          "gold_joint_nuts*.npz")))
+                                          "gold_joint_nuts*.npz")),
+                   key=os.path.getmtime)  # newest gold (review r4)
     assert cands, "run validate_baseline.py sv first"
     with np.load(cands[-1]) as z:
         return z["gold"], os.path.basename(cands[-1])      # (n, C, 4+T)

@@ -44,7 +44,8 @@ from validate_baseline import (  # noqa: E402
 
 def _load_gold(cfg, theta_dim):
     cands = sorted(glob.glob(os.path.join(VAL_DIR, cfg,
-                                          "gold_joint_nuts*.npz")))
+                                          "gold_joint_nuts*.npz")),
+                   key=os.path.getmtime)  # newest gold (review r4)
     assert cands, f"run validate_baseline.py {cfg} first"
     with np.load(cands[-1]) as z:
         g = z["gold"]

@@ -253,6 +253,30 @@ FHN_PRODUCTION_TAGS = ("fhn_smc_refit", "fhn_fullpath_iw25",
                        "fhn_fullpath")
 
 
+def _pick_production(tags, gold_file):
+    """First existing study artifact whose recorded gold matches the gold
+    being judged against (review r4: a refit judged against a stale gold
+    cache must not grant pass_unbiased; artifacts record their gold in the
+    gold_standard string). Returns (production_block, tag) or (None, None).
+    """
+    for tag in tags:
+        fp = os.path.join(VAL_DIR, f"{tag}.json")
+        if not os.path.exists(fp):
+            continue
+        with open(fp) as f:
+            s = json.load(f)
+        if gold_file is not None and gold_file not in s.get("gold_standard",
+                                                           ""):
+            print(f"[production] skipping validation/{tag}.json: judged "
+                  f"against {s.get('gold_standard')}, current gold is "
+                  f"{gold_file} — re-run its study", flush=True)
+            continue
+        return ({"source": f"validation/{tag}.json",
+                 "protocol": s.get("protocol"),
+                 "theta": s["theta"], "paths": s["paths"]}, tag)
+    return None, None
+
+
 def _study_bias(tag):
     """max theta bias/sd from a study artifact, or None."""
     fp = os.path.join(VAL_DIR, f"{tag}.json")
@@ -286,8 +310,11 @@ def _floor_passes(floor, judged_tag=None, gold_file=None):
     under a new tag) silently counts as 'no certificate'."""
     if floor is None or not floor.get("floor_certified"):
         return False
-    if judged_tag is not None and (
-            floor.get("production_ckpt") != f"validation/{judged_tag}/ckpt"):
+    # a certificate is always issued FOR a production checkpoint: with no
+    # judged production artifact (judged_tag None -> the windowed fit is
+    # being judged) it cannot apply (review r4: the None case must not
+    # bypass the identity gate)
+    if floor.get("production_ckpt") != f"validation/{judged_tag}/ckpt":
         return False
     if gold_file is not None and floor.get("gold_file") != gold_file:
         return False
@@ -301,13 +328,13 @@ def _floor_note(cfg, judged_tag=None, gold_file=None):
     a0 = floor["elbo_gauss_gold_mean"]
     tr = floor.get("translation_probe", {})
     slack = tr.get("path_translation_slack_nats")
-    if judged_tag is not None and (
-            floor.get("production_ckpt") != f"validation/{judged_tag}/ckpt"):
+    if floor.get("production_ckpt") != f"validation/{judged_tag}/ckpt":
         return (f"An objective-floor certificate exists "
                 f"(validation/floor_{cfg}.json) but was issued for "
                 f"{floor.get('production_ckpt')}, not the judged "
-                f"validation/{judged_tag} posterior — NOT honored "
-                f"(ADVICE r3); re-run scripts/objective_floor.py.")
+                f"{'validation/' + judged_tag if judged_tag else 'windowed'}"
+                f" posterior — NOT honored (ADVICE r3); re-run "
+                f"scripts/objective_floor.py.")
     if gold_file is not None and floor.get("gold_file") != gold_file:
         return (f"An objective-floor certificate exists "
                 f"(validation/floor_{cfg}.json) but against gold draws "
@@ -349,9 +376,10 @@ def _floor_note(cfg, judged_tag=None, gold_file=None):
            "training/widening."))
 
 
-def _sv_notes(theta, paths, ok, judged_tag=None, gold_file=None):
+def _sv_notes(theta, paths, ok, judged_tag=None, gold_file=None,
+              ok_unbiased=False):
     """Diagnosis paragraph for the SV verdict (VERDICT r2 items 1/5),
-    assembled from the round-3 study artifacts where present."""
+    assembled from the study artifacts where present."""
     bs = np.asarray(theta["bias_in_posterior_sd"])
     lines = [
         f"Criterion: every theta coordinate within 0.5 gold posterior SDs "
@@ -413,13 +441,21 @@ def _sv_notes(theta, paths, ok, judged_tag=None, gold_file=None):
         f"Latent path: median bias/sd {paths['bias_sd_median']:.3f} over "
         f"{paths['coords']} coords (z-fractions grow with gold ESS by "
         f"construction; bias/sd is the family-floor scale).")
-    fn = _floor_note("sv", judged_tag, gold_file)
-    if fn:
-        lines.append(fn)
+    if ok_unbiased:
+        lines.append(
+            "No objective-floor certificate is needed: the production "
+            "posterior passes the bias criterion outright (the round-3 "
+            "certificates in validation/floor_*.json remain as the record "
+            "of the reverse-KL floor the refit escaped).")
+    else:
+        # the verdict rests on (or lacks) a floor certificate: show it
+        fn = _floor_note("sv", judged_tag, gold_file)
+        lines.append(fn or "No objective-floor certificate on file.")
     return " ".join(lines)
 
 
-def _fhn_notes(theta, paths, ok, judged_tag=None, gold_file=None):
+def _fhn_notes(theta, paths, ok, judged_tag=None, gold_file=None,
+               ok_unbiased=False):
     bs = np.asarray(theta["bias_in_posterior_sd"])
     names = theta["names"]
     worst = names[int(bs.argmax())]
@@ -453,9 +489,15 @@ def _fhn_notes(theta, paths, ok, judged_tag=None, gold_file=None):
     lines.append(
         f"Path outliers: max bias/sd {paths['bias_sd_max']:.1f} "
         f"(worst coordinates listed in this JSON's paths.outliers).")
-    fn = _floor_note("fhn", judged_tag, gold_file)
-    if fn:
-        lines.append(fn)
+    if ok_unbiased:
+        lines.append(
+            "No objective-floor certificate is needed: the production "
+            "posterior passes the bias criterion outright (the round-3 "
+            "certificates in validation/floor_*.json remain as the record "
+            "of the reverse-KL floor the refit escaped).")
+    else:
+        fn = _floor_note("fhn", judged_tag, gold_file)
+        lines.append(fn or "No objective-floor certificate on file.")
     return " ".join(lines)
 
 
@@ -870,20 +912,10 @@ def validate_sv(fast=False, steps=None, n_s=None, n_w=None, chains=None):
     # record; the PRODUCTION SV posterior is the exact full-path IWAE
     # fine-tune (scripts/sv_fullpath_study.py). The best available study
     # artifact under the same gold is embedded and judged.
-    production, judged_tag = None, None
-    for tag in SV_PRODUCTION_TAGS:
-        fp = os.path.join(VAL_DIR, f"{tag}.json")
-        if os.path.exists(fp):
-            with open(fp) as f:
-                s = json.load(f)
-            production = {"source": f"validation/{tag}.json",
-                          "protocol": s.get("protocol"),
-                          "theta": s["theta"], "paths": s["paths"]}
-            judged_tag = tag
-            break
+    gold_file = g.get("__file__")
+    production, judged_tag = _pick_production(SV_PRODUCTION_TAGS, gold_file)
     judged = production["theta"] if production else theta
     floor = _floor_cert("sv")
-    gold_file = g.get("__file__")
     ok_unbiased = bool(max(judged["bias_in_posterior_sd"]) < 0.5)
     ok = ok_unbiased or _floor_passes(floor, judged_tag, gold_file)
     crit = ("max theta bias/sd < 0.5 on the production (full-path) "
@@ -916,7 +948,8 @@ def validate_sv(fast=False, steps=None, n_s=None, n_w=None, chains=None):
                    "honored_for_judged": _floor_passes(floor, judged_tag,
                                                        gold_file)}
                   if floor else None),
-        "notes": _sv_notes(theta, paths, ok, judged_tag, gold_file),
+        "notes": _sv_notes(theta, paths, ok, judged_tag, gold_file,
+                           ok_unbiased),
     })
 
 
@@ -992,20 +1025,10 @@ def validate_fhn(fast=False, T_units=200.0, steps=150_000, n_s=None, n_w=None,
     paths = _path_block(vi_paths.reshape(vi_paths.shape[0], -1),
                         gold[:, :, 5:])
 
-    production, judged_tag = None, None
-    for tag in FHN_PRODUCTION_TAGS:
-        fp = os.path.join(VAL_DIR, f"{tag}.json")
-        if os.path.exists(fp):
-            with open(fp) as f:
-                s = json.load(f)
-            production = {"source": f"validation/{tag}.json",
-                          "protocol": s.get("protocol"),
-                          "theta": s["theta"], "paths": s["paths"]}
-            judged_tag = tag
-            break
+    gold_file = g.get("__file__")
+    production, judged_tag = _pick_production(FHN_PRODUCTION_TAGS, gold_file)
     judged = production["theta"] if production else theta
     floor = _floor_cert("fhn")
-    gold_file = g.get("__file__")
     ok_unbiased = bool(max(judged["bias_in_posterior_sd"]) < 0.5)
     ok = ok_unbiased or _floor_passes(floor, judged_tag, gold_file)
     crit = ("max theta bias/sd < 0.5 on the production (full-path) "
@@ -1036,7 +1059,8 @@ def validate_fhn(fast=False, T_units=200.0, steps=150_000, n_s=None, n_w=None,
                    "honored_for_judged": _floor_passes(floor, judged_tag,
                                                        gold_file)}
                   if floor else None),
-        "notes": _fhn_notes(theta, paths, ok, judged_tag, gold_file),
+        "notes": _fhn_notes(theta, paths, ok, judged_tag, gold_file,
+                            ok_unbiased),
     })
 
 

@@ -76,6 +76,9 @@ def test_floor_cert_tag_and_gold_gating():
     assert not _floor_passes(_cert(elbo_vi=[500.0, 0.1]),
                              "sv_fullpath_iw25", "gold_joint_nuts_abc.npz")
     assert not _floor_passes(None, "sv_fullpath_iw25", "x")
+    # no judged production artifact (windowed posterior being judged): a
+    # cert issued for a production checkpoint cannot apply (review r4)
+    assert not _floor_passes(c, None, "gold_joint_nuts_abc.npz")
 
 
 def test_production_tag_lists_shared_with_objective_floor():

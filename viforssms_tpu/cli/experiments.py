@@ -381,15 +381,28 @@ def run_production_ladder(kind, out_dir=None, windowed_steps=20_000,
     fdir = os.path.join(out_dir, "fullpath")
     fckpt = Checkpointer(os.path.join(fdir, "ckpt"))
     fmeta = os.path.join(fdir, "fit_meta.json")
+    # stage-2 objective fingerprint: a resumed checkpoint trained under a
+    # DIFFERENT objective must not be silently relabeled with this
+    # invocation's protocol string (review r4)
+    stage2_cfg = {"objective": objective, "iw_k": iw_k, "inner_m": inner_m,
+                  "theta_widen": theta_widen, "rws_target_sd": rws_target_sd}
     state = eng.init(jax.random.key(weng.cfg.train.seed + 1))
     restored = fckpt.restore(state)
     fit_done = 0
     if restored is not None and int(restored.step) > 0:
-        state = restored
-        fit_done = int(restored.step)
+        meta = {}
         if os.path.exists(fmeta):
             with open(fmeta) as f:
-                fit_done = int(json.load(f)["fit_steps"])
+                meta = json.load(f)
+        old = meta.get("stage2_cfg")
+        if old is not None and old != stage2_cfg:
+            raise SystemExit(
+                f"[ladder/fullpath] checkpoint under {fdir} was trained "
+                f"with {old}, this invocation asks for {stage2_cfg} — "
+                f"use a fresh --out (or delete the stage dir) instead of "
+                f"relabeling the old posterior")
+        state = restored
+        fit_done = int(meta.get("fit_steps", int(restored.step)))
         print(f"[ladder/fullpath] resumed (fit steps {fit_done})", flush=True)
     else:
         state = state._replace(params=wstate.params,
@@ -401,7 +414,7 @@ def run_production_ladder(kind, out_dir=None, windowed_steps=20_000,
         fit_done += n
         fckpt.save(state)
         with open(fmeta, "w") as f:
-            json.dump({"fit_steps": fit_done}, f)
+            json.dump({"fit_steps": fit_done, "stage2_cfg": stage2_cfg}, f)
         print(f"[ladder/fullpath] {fit_done}/{fullpath_steps}: "
               f"bound {float(m.elbo):.6g}", flush=True)
 
@@ -452,7 +465,9 @@ def run_production_ladder(kind, out_dir=None, windowed_steps=20_000,
         state = state._replace(params=params)
         fckpt.save(state)
         refit_note = (f" -> PF-evidence theta refit ({refit_rounds} rounds,"
-                      f" N={N}, final k_hat {hist[-1].k_hat:.2f})")
+                      f" N={N}"
+                      + (f", final k_hat {hist[-1].k_hat:.2f}" if hist
+                         else "") + ")")
 
     # ---- export the production posterior ----
     theta = eng.sample_theta(state.params, jax.random.key(42), 20_000)

@@ -90,7 +90,11 @@ def masked_group_logsumexp(vals, group, nan_mask):
     tiny = jnp.asarray(np.finfo(np.float32).tiny, vals.dtype)
     out = (jnp.log(jnp.maximum(s, tiny)) + gmax
            - jnp.log(jnp.maximum(n_ok, 1).astype(vals.dtype)))
-    return jnp.where(n_ok > 0, out, -jnp.inf), n_ok
+    # an all-(-inf) group (every member diverged, with OR without the nan
+    # mask) is -inf, not log(tiny) (review r4: the old logsumexp surfaced
+    # such groups as an inf loss; the clamped log must not silently
+    # launder them into a finite bound) — the where keeps gradients clean
+    return jnp.where((n_ok > 0) & (s > 0), out, -jnp.inf), n_ok
 
 
 class SeqELBOTerms(NamedTuple):
@@ -438,9 +442,14 @@ class SequenceVIEngine:
             raise ValueError(
                 f"iw_k={self.iw_k} must divide n_theta={n_theta} "
                 f"(p={cfg.p} / inner_m={self.inner_m})")
-        if self.objective in ("dreg", "rws") and self.fix_theta_value is not None:
-            raise ValueError(f"{self.objective} trains the theta flow; "
-                             "incompatible with fix_theta_value")
+        if self.fix_theta_value is not None and (
+                self.objective in ("dreg", "rws") or self.inner_m > 1):
+            # the weighted path samples theta from the flow unconditionally
+            # (review r4: inner_m>1 would silently ignore the pinned theta)
+            raise ValueError(
+                f"objective={self.objective!r}/inner_m={self.inner_m} "
+                "train/weight a theta flow; incompatible with "
+                "fix_theta_value")
         self.flow = NMAFlowStack(
             network_dims=tuple(cfg.flow.network_dims),
             kernel_len=cfg.flow.kernel_len,

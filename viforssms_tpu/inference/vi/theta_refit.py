@@ -107,7 +107,7 @@ def refit_theta_forward_kl(theta_flow, params_theta, log_joint_fn: Callable,
     history = []
     for r in range(rounds):
         thetas, lws = [], []
-        n_batches = draws_per_round // proposal_batch
+        n_batches = max(1, draws_per_round // proposal_batch)
         key, k_round = jax.random.split(key)
         for b in range(n_batches):
             key, k1, k2 = jax.random.split(key, 3)
