@@ -64,7 +64,10 @@ def measure(num_series: int = 256, p_val: int = 128, epochs: int = 8,
     # per epoch pays ~25 ms of tunnel overhead for ~7 ms of compute
     # (docs/RESULTS.md dispatch study), so production scans many epochs
     # per dispatch (fit_epochs scan_epochs)
-    scan_ep = max(epochs, 32)
+    scan_ep = max(epochs, 128)  # 256 steps/dispatch: fully amortizes the
+    # ~25 ms tunnel call while staying far under the worker's
+    # multi-minute dispatch kill (measured 652 steps/s at 300
+    # steps/dispatch, scripts/roofline.py)
     state = prod.init(jax.random.key(0))
     state, _, ms = prod.train_epochs(state, idx_mat, scan_ep)   # compile
     float(ms.elbo)

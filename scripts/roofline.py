@@ -52,32 +52,37 @@ def main():
 
     from viforssms_tpu.cli.experiments import build_lv_learn_theta
 
+    import dataclasses
+
     eng, info = build_lv_learn_theta(synthetic=True,
                                      num_series=args.num_series,
                                      p_val=args.p_val)
+    # the PRODUCTION path: bf16 MXU passes + multi-epoch scanned dispatch
+    # (round 4 — matches what bench_learn_theta.py measures; the old
+    # per-step train_many measurement was dominated by tunnel dispatch)
+    eng = dataclasses.replace(eng, matmul_precision="bfloat16")
     cfg = eng.cfg
     state = eng.init(jax.random.key(0))
 
-    # one epoch-shaped index batch (deterministic p-series batches)
-    state, _, _ = eng.pretrain_step(state)       # compile + sane region
-    state, _ = eng.train_step(state)             # compile train program
-    jax.block_until_ready(state.params)
-
-    n = args.steps
+    per_epoch = args.num_series // args.p_val
+    idx_mat = np.stack([
+        np.arange(i, i + args.p_val, dtype=np.int32)
+        for i in range(0, args.num_series - args.p_val + 1, args.p_val)
+    ])
+    scan_ep = max(1, args.steps // per_epoch)
+    state, _, ms = eng.train_epochs(state, idx_mat, scan_ep)   # compile
+    float(ms.elbo)
+    n = scan_ep * per_epoch
     t0 = time.time()
-    done = 0
-    while done < n:
-        c = min(args.chunk, n - done)
-        state, ms = eng.train_many(state, c)
-        done += c
-    jax.block_until_ready(state.params)
+    state, _, ms = eng.train_epochs(state, idx_mat, scan_ep)
+    float(ms.elbo)                                # completion fence
     dt_run = time.time() - t0
     sps = n / dt_run
 
     if args.trace:
         with jax.profiler.trace(args.trace):
-            state, ms = eng.train_many(state, 20)
-            jax.block_until_ready(state.params)
+            state, _, ms = eng.train_epochs(state, idx_mat, 10)
+            float(ms.elbo)
 
     # analytic FLOPs (fwd + dgrad + wgrad), shared with bench.py
     fw = cfg.flow

@@ -584,12 +584,18 @@ def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
     from viforssms_tpu.utils.preemption import PreemptionGuard
 
     ckpt = Checkpointer(os.path.join(out_dir, "ckpt"))
+    # accelerators: scan many epochs per dispatch — an epoch here is only
+    # num_series/p batches, and each dispatch costs ~25 ms of tunnel
+    # overhead (10.8x measured on the production config, round 4); on CPU
+    # keep per-epoch dispatch (nested-scan programs compile slowly there)
+    scan_ep = 0 if jax.default_backend() == "cpu" else 64
     with MetricWriter(os.path.join(out_dir, "metrics.jsonl")) as logger:
         with PreemptionGuard() as guard:
             state, last = eng.fit_epochs(state, num_epochs=num_epochs,
                                          pre_train_epochs=pre_train_epochs,
                                          logger=logger, checkpointer=ckpt,
-                                         should_stop=guard)
+                                         should_stop=guard,
+                                         scan_epochs=scan_ep)
     ckpt.save(state)
     if guard.triggered:
         print(f"Preempted at step {int(state.step)}; checkpoint saved",
