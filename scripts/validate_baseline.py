@@ -213,6 +213,7 @@ def _path_block(vi_paths, gold_paths):
         "z_frac_gt2": float(np.mean(cmp.z > 2.0)),
         "z_max": float(np.max(cmp.z)),
         "bias_sd_median": float(np.median(bias_sd)),
+        "bias_sd_p99": float(np.percentile(bias_sd, 99)),
         "bias_sd_max": float(np.max(bias_sd)),
         "mean_abs_diff": float(np.mean(np.abs(cmp.mean_a - cmp.mean_b))),
         # worst coordinates, for root-causing (flat index into the
@@ -224,6 +225,15 @@ def _path_block(vi_paths, gold_paths):
             for i in top
         ],
     }
+
+
+def _paths_pass(paths) -> bool:
+    """Round-5 path criterion for the joint-gold configs (SV/FHN): the path
+    posterior is judged alongside theta — median bias/sd < 0.3 AND p99 < 2.0
+    gold SDs. Added after round 4's FHN window-0 edge artifact (VI means of
+    the wrong sign at the first ~5 steps of each dim, up to 20.7 gold SDs)
+    passed a theta-only criterion silently (VERDICT r4, 'What's weak' #1)."""
+    return bool(paths["bias_sd_median"] < 0.3 and paths["bias_sd_p99"] < 2.0)
 
 
 def _gold_run_diag(g):
@@ -917,7 +927,9 @@ def validate_sv(fast=False, steps=None, n_s=None, n_w=None, chains=None):
     judged = production["theta"] if production else theta
     floor = _floor_cert("sv")
     ok_unbiased = bool(max(judged["bias_in_posterior_sd"]) < 0.5)
-    ok = ok_unbiased or _floor_passes(floor, judged_tag, gold_file)
+    paths_ok = _paths_pass(paths)
+    ok = (ok_unbiased or _floor_passes(floor, judged_tag, gold_file)) \
+        and paths_ok
     crit = ("max theta bias/sd < 0.5 on the production (full-path) "
             "posterior, OR the residual demonstrated to be the training "
             "objective's own optimum (validation/floor_sv.json translation "
@@ -926,6 +938,8 @@ def validate_sv(fast=False, steps=None, n_s=None, n_w=None, chains=None):
             "theta-penalty at alpha=1 is significantly positive, and the "
             "flow bound beats the gold-moment Gaussian; certificate honored "
             "only for the judged checkpoint under the current gold draws); "
+            "AND path bias/sd median < 0.3 with p99 < 2.0 gold SDs (round-5: "
+            "paths are judged, not just theta — VERDICT r4 item 1); "
             "windowed reference-parity fit recorded alongside")
     _save("sv", {
         "gold_standard": "joint NUTS over [theta(4), x_{1:T}] on dat/SV.dat",
@@ -937,6 +951,7 @@ def validate_sv(fast=False, steps=None, n_s=None, n_w=None, chains=None):
         "criteria": crit,
         "pass": ok,
         "pass_unbiased": ok_unbiased,
+        "paths_pass": paths_ok,
         "floor": ({"alpha_star": floor.get("translation_probe", {})
                    .get("joint_alpha_star"),
                    "elbo_vi": floor["elbo_vi"],
@@ -1030,13 +1045,18 @@ def validate_fhn(fast=False, T_units=200.0, steps=150_000, n_s=None, n_w=None,
     judged = production["theta"] if production else theta
     floor = _floor_cert("fhn")
     ok_unbiased = bool(max(judged["bias_in_posterior_sd"]) < 0.5)
-    ok = ok_unbiased or _floor_passes(floor, judged_tag, gold_file)
+    paths_ok = _paths_pass(paths)
+    ok = (ok_unbiased or _floor_passes(floor, judged_tag, gold_file)) \
+        and paths_ok
     crit = ("max theta bias/sd < 0.5 on the production (full-path) "
             "posterior, OR the residual demonstrated to be the training "
             "objective's own optimum (validation/floor_fhn.json translation "
             "probe; certificate honored only for the judged checkpoint "
-            "under the current gold draws); windowed reference-parity fit "
-            "recorded alongside")
+            "under the current gold draws); AND path bias/sd median < 0.3 "
+            "with p99 < 2.0 gold SDs (round-5: paths are judged, not just "
+            "theta — the round-4 20.7-gold-SD window-0 edge artifact passed "
+            "a theta-only criterion silently); windowed reference-parity "
+            "fit recorded alongside")
     _save("fhn", {
         "gold_standard": "joint NUTS over [theta(5), x_{1:2T}] on synthetic FHN",
         "reference": "fitz_nag_NVP.py:453-468 (T scaled to "
@@ -1048,6 +1068,7 @@ def validate_fhn(fast=False, T_units=200.0, steps=150_000, n_s=None, n_w=None,
         "criteria": crit,
         "pass": ok,
         "pass_unbiased": ok_unbiased,
+        "paths_pass": paths_ok,
         "floor": ({"alpha_star": floor.get("translation_probe", {})
                    .get("joint_alpha_star"),
                    "elbo_vi": floor["elbo_vi"],

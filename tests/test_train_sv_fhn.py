@@ -76,6 +76,46 @@ def test_fhn_trains_finite():
     assert th.shape == (64, 5) and np.all(np.isfinite(th))
 
 
+def test_fhn_window0_pins_x0():
+    """Window 0's leading column must equal x0 exactly; later windows are an
+    identity passthrough (round-4 finding: the free leading column parked the
+    first steps of each dim up to 20.7 gold SDs from the joint-NUTS posterior,
+    which conditions on x0 — validation/fhn.json paths.outliers)."""
+    theta_true = (np.log(2.0), 1.0, 1.5, np.log(0.5), np.log(0.3))
+    x = simulate_fhn(theta_true, x0=(-1.0, 1.0), dt=0.1, T=6.0, seed=2)
+    target = x.shape[1] - 1
+    obs, obs_bin, time_till = partial_observe_2d(x, every=6, obs_std=0.1, seed=3)
+    cfg = VIConfig(
+        p=4, batch_dims=15, T=target,
+        flow=FlowConfig(kernel_len=4, no_flows=2, network_dims=(8, 8),
+                        feat_window=3, flow_dims=2),
+        train=TrainConfig(learn_rate=1e-3, grad_clip=1e8),
+        theta_num_bijectors=2,
+    )
+    tables, spec = lv_tables(
+        obs, obs_bin, time_till * 0.1, 4, 2, 3, 15, x0=(-1.0, 1.0), dt=0.1,
+        context_flag_in_pad=True, time_till_end=-0.1,
+    )
+    model = FitzHughNagumo(dt=0.1)
+    eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True)
+    state = eng.init(jax.random.key(4))
+    t0 = eng.eval_terms(state.params, jax.random.key(7),
+                        np.zeros(4, np.int32))
+    np.testing.assert_allclose(np.asarray(t0.x[:, 0, 0]), -1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t0.x[:, 1, 0]), 1.0, atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(t0.elbo)))
+    # interior windows: leading column is a free sample (mask slice is ones)
+    t1 = eng.eval_terms(state.params, jax.random.key(8),
+                        np.full(4, 15, np.int32))
+    lead = np.asarray(t1.x[:, :, 0])
+    assert not np.allclose(lead[:, 0], -1.0) and not np.allclose(lead[:, 1], 1.0)
+    # the identity transform owes no log-det
+    raw = jax.random.normal(jax.random.key(9), (3, 2, 6))
+    xt, ld = model.transform_path(raw, np.ones((3, 2, 6)), np.zeros((3, 2, 6)))
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(raw))
+    np.testing.assert_allclose(np.asarray(ld), 0.0)
+
+
 def test_pretrain_theta_anchor_pulls_posterior():
     """The pre-train theta regression (SV_dense.py:253-254,333; fitz_nag_NVP.py:
     291-292,373) must pull q(theta)'s mean toward the anchor values."""

@@ -3,8 +3,16 @@
 Drift:     ( exp(t0) * (x1 - x1^3 - x2 + t1),  t2*x1 - x2 + 1.4 )
 Diffusion: diagonal, scale ( sqrt(exp(t3)), sqrt(exp(t4)) )      (fitz_nag_NVP.py:243-255)
 Obs:       y ~ N(x, 0.1) on observed steps                        (fitz_nag_NVP.py:233-234)
-Paths are unconstrained (no positivity transform; the flow output is used
-directly, ``fitz_nag_NVP.py:281-283``).
+Paths are unconstrained (no positivity transform, ``fitz_nag_NVP.py:281-283``)
+but the GLOBAL first column is pinned to x0 via the identity mask/shift
+transform. The reference script leaves window 0's leading column as a free
+variational sample (unlike its LV siblings, ``lotka_volterra_partial.py:292-297``,
+which pin x0) — measured against a joint-NUTS gold that conditions on the true
+x0, that free edge parks the first ~5 steps of each dimension tens of gold SDs
+from the posterior (round-4 ``validation/fhn.json`` paths.outliers: bias up to
+20.7 gold SDs with the wrong sign). Pinning matches the generative model the
+reference itself evaluates (its SDE density at window 0 conditions the first
+transition pair on the leading column; the gold pins that column to x0).
 """
 
 from __future__ import annotations
@@ -34,7 +42,19 @@ class FitzHughNagumo(SSM):
 
     flow_dims = 2
     theta_dim = 5
-    uses_mask_shift = False
+    uses_mask_shift = True
+
+    def transform_path(self, x_raw, mask, shift):
+        """Identity transform that pins the global first column to x0.
+
+        ``mask`` is 0 (and ``shift`` = x0) only at table position 0, so only
+        window 0's leading column is pinned; every other window passes
+        through unchanged. The windowed base density never counts the
+        leading column (``AR.py:31-35`` contract), so no log-det correction
+        is owed for the pin, and the identity elsewhere contributes 0.
+        """
+        x = x_raw * mask + shift
+        return x, jnp.zeros(x.shape[0], x.dtype)
 
     def transition_log_prob(self, x, theta, x_raw=None):
         del x_raw
