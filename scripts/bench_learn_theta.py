@@ -19,7 +19,7 @@ This script measures, on the same chip and the same compiled math:
 Emits one JSON line (also consumed by bench.py --all). Both measurements run
 fresh each invocation — the dominant cost is the one-time engine build.
 
-Run:  python scripts/bench_learn_theta.py [--epochs 8]
+Run:  python scripts/bench_learn_theta.py [--scan-epochs 128]
 """
 
 from __future__ import annotations
@@ -48,7 +48,7 @@ def _engines(num_series: int, p_val: int):
     return eng, prod, info
 
 
-def measure(num_series: int = 256, p_val: int = 128, epochs: int = 8,
+def measure(num_series: int = 256, p_val: int = 128, scan_epochs: int = 128,
             ref_steps: int = 30) -> dict:
     import jax
 
@@ -64,10 +64,12 @@ def measure(num_series: int = 256, p_val: int = 128, epochs: int = 8,
     # per epoch pays ~25 ms of tunnel overhead for ~7 ms of compute
     # (docs/RESULTS.md dispatch study), so production scans many epochs
     # per dispatch (fit_epochs scan_epochs)
-    scan_ep = max(epochs, 128)  # 256 steps/dispatch: fully amortizes the
-    # ~25 ms tunnel call while staying far under the worker's
-    # multi-minute dispatch kill (measured 652 steps/s at 300
-    # steps/dispatch, scripts/roofline.py)
+    # scan_epochs epochs per dispatch (default 128 -> 256 steps/dispatch:
+    # fully amortizes the ~25 ms tunnel call while staying far under the
+    # worker's multi-minute dispatch kill — 652 steps/s measured at 300
+    # steps/dispatch, scripts/roofline.py). Honored as given so a quick
+    # bench can actually run small dispatches (ADVICE r4).
+    scan_ep = scan_epochs
     state = prod.init(jax.random.key(0))
     state, _, ms = prod.train_epochs(state, idx_mat, scan_ep)   # compile
     float(ms.elbo)
@@ -113,7 +115,8 @@ def measure(num_series: int = 256, p_val: int = 128, epochs: int = 8,
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--scan-epochs", type=int, default=128,
+                    help="epochs per scanned dispatch (timing loop runs 4 dispatches)")
     ap.add_argument("--num-series", type=int, default=256)
     ap.add_argument("--p", type=int, default=128)
     args = ap.parse_args(argv)
@@ -121,7 +124,8 @@ def main(argv=None):
     from viforssms_tpu.core.platform import apply_platform_env
 
     apply_platform_env()
-    r = measure(num_series=args.num_series, p_val=args.p, epochs=args.epochs)
+    r = measure(num_series=args.num_series, p_val=args.p,
+                scan_epochs=args.scan_epochs)
     print(json.dumps(r))
 
 

@@ -35,3 +35,42 @@ def test_fhn_production_ladder_cli(tmp_path):
         assert json.load(f)["fit_steps"] == 60
     with open(os.path.join(out, "fullpath", "fit_meta.json")) as f:
         assert json.load(f)["fit_steps"] == 20
+
+
+@pytest.mark.slow
+def test_ladder_smc_refit_isolated_and_idempotent(tmp_path):
+    """The stage-3 refit must live in its own stage dir: the stage-2
+    checkpoint keeps the un-refit thetas, and a re-invocation restores the
+    saved refit instead of re-applying it on top of itself (ADVICE r4,
+    medium)."""
+    import jax
+
+    from viforssms_tpu.cli.experiments import run_production_ladder
+
+    out = str(tmp_path / "ladder")
+    kw = dict(kind="fhn", out_dir=out, windowed_steps=40, fullpath_steps=15,
+              iw_k=1, objective="elbo", pretrain=20, synthetic=True, T=20.0,
+              export_rows=64, smc_refit=True, refit_rounds=1,
+              refit_particles=64, refit_proposal_batch=16, refit_draws=32)
+    state1 = run_production_ladder(**kw)
+    with open(os.path.join(out, "ladder.json")) as f:
+        s1 = json.load(f)
+    assert "PF-evidence theta refit" in s1["protocol"]
+    assert os.path.isdir(os.path.join(out, "refit", "ckpt"))
+    with open(os.path.join(out, "refit", "refit_meta.json")) as f:
+        rmeta = json.load(f)
+    assert rmeta["refit_cfg"]["stage2_fit_steps"] == 15
+    # the stage-2 checkpoint must NOT carry the refit thetas
+    from viforssms_tpu.utils.checkpoint import Checkpointer
+
+    from viforssms_tpu.cli.experiments import build_fitz_nag  # noqa: F401
+    fckpt = Checkpointer(os.path.join(out, "fullpath", "ckpt"))
+    s2 = fckpt.restore(state1)
+    t_refit = jax.tree.leaves(state1.params["theta"])[0]
+    t_stage2 = jax.tree.leaves(s2.params["theta"])[0]
+    assert not np.allclose(np.asarray(t_refit), np.asarray(t_stage2))
+    # second invocation: restores the refit (identical thetas, no re-apply)
+    state2 = run_production_ladder(**kw)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(state2.params["theta"])[0]),
+        np.asarray(t_refit))

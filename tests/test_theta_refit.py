@@ -65,3 +65,28 @@ def test_freeze_theta_masks_updates():
     f1 = np.asarray(jax.flatten_util.ravel_pytree(state2.params["flow"])[0])
     np.testing.assert_array_equal(t0, t1)
     assert float(np.abs(f1 - f0).max()) > 0
+
+
+def test_freeze_theta_masks_at_gradient_level():
+    """Frozen theta grads must not leak into the path update: huge (or
+    non-finite) theta gradients may neither shrink the flow update through
+    the global-norm clip nor trip apply_if_finite (ADVICE r4)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_sequence_objectives import _ar_engine
+
+    eng = _ar_engine(iw_k=1, objective="elbo", freeze_theta=True)
+    state = eng.init(jax.random.key(0))
+    opt_state = eng.opt.init(state.params)
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    upd_ref, _ = eng.opt.update(grads, opt_state, state.params)
+    # same flow grads, pathological theta grads
+    bad = dict(grads)
+    bad["theta"] = jax.tree.map(lambda a: jnp.full_like(a, jnp.nan),
+                                grads["theta"])
+    upd_bad, _ = eng.opt.update(bad, opt_state, state.params)
+    f_ref = np.asarray(jax.flatten_util.ravel_pytree(upd_ref["flow"])[0])
+    f_bad = np.asarray(jax.flatten_util.ravel_pytree(upd_bad["flow"])[0])
+    np.testing.assert_allclose(f_bad, f_ref)
+    t_bad = np.asarray(jax.flatten_util.ravel_pytree(upd_bad["theta"])[0])
+    np.testing.assert_array_equal(t_bad, 0.0)

@@ -419,6 +419,12 @@ def run_production_ladder(kind, out_dir=None, windowed_steps=20_000,
               f"bound {float(m.elbo):.6g}", flush=True)
 
     # ---- stage 3 (optional): PF-evidence forward-KL theta refit ----
+    # The refit lives in its OWN stage dir (<out>/refit/ckpt) keyed by its
+    # config + the stage-2 state it was computed from. Round-4 saved the
+    # refit state over the stage-2 checkpoint, which made a resumed
+    # --ladder-smc-refit re-apply the refit on top of the previous refit and
+    # let a later invocation without the flag export refit thetas under a
+    # protocol string that omits the refit (ADVICE r4, medium).
     refit_note = ""
     if smc_refit:
         from viforssms_tpu.inference.validate import (
@@ -454,20 +460,46 @@ def run_production_ladder(kind, out_dir=None, windowed_steps=20_000,
         def log_joint_fn(k, th):
             return ev_batch(th, k) + model.log_prior(th)
 
-        print(f"[ladder/refit] PF-evidence forward-KL theta refit "
-              f"({refit_rounds} rounds, N={N})", flush=True)
-        params_theta, hist = refit_theta_forward_kl(
-            eng.theta_flow, state.params["theta"], log_joint_fn,
-            jax.random.key(weng.cfg.train.seed + 2), rounds=refit_rounds,
-            draws_per_round=refit_draws, proposal_batch=pb, widen=wd)
-        params = dict(state.params)
-        params["theta"] = params_theta
-        state = state._replace(params=params)
-        fckpt.save(state)
-        refit_note = (f" -> PF-evidence theta refit ({refit_rounds} rounds,"
-                      f" N={N}"
-                      + (f", final k_hat {hist[-1].k_hat:.2f}" if hist
-                         else "") + ")")
+        rdir = os.path.join(out_dir, "refit")
+        rckpt = Checkpointer(os.path.join(rdir, "ckpt"))
+        rmeta_path = os.path.join(rdir, "refit_meta.json")
+        refit_cfg = {"rounds": refit_rounds, "draws": refit_draws, "N": N,
+                     "proposal_batch": pb, "widen": wd,
+                     "stage2_fit_steps": fit_done,
+                     "stage2_cfg": stage2_cfg}
+        rmeta = None
+        if os.path.exists(rmeta_path):
+            with open(rmeta_path) as f:
+                rmeta = json.load(f)
+        restored_refit = rckpt.restore(state)
+        if (restored_refit is not None and rmeta is not None
+                and rmeta.get("refit_cfg") == refit_cfg):
+            state = restored_refit
+            refit_note = rmeta["note"]
+            print(f"[ladder/refit] restored refit state ({refit_note})",
+                  flush=True)
+        else:
+            if rmeta is not None and rmeta.get("refit_cfg") != refit_cfg:
+                print(f"[ladder/refit] existing refit was computed under "
+                      f"{rmeta.get('refit_cfg')}; recomputing for "
+                      f"{refit_cfg}", flush=True)
+            print(f"[ladder/refit] PF-evidence forward-KL theta refit "
+                  f"({refit_rounds} rounds, N={N})", flush=True)
+            params_theta, hist = refit_theta_forward_kl(
+                eng.theta_flow, state.params["theta"], log_joint_fn,
+                jax.random.key(weng.cfg.train.seed + 2), rounds=refit_rounds,
+                draws_per_round=refit_draws, proposal_batch=pb, widen=wd)
+            params = dict(state.params)
+            params["theta"] = params_theta
+            state = state._replace(params=params)
+            refit_note = (f" -> PF-evidence theta refit ({refit_rounds} "
+                          f"rounds, N={N}"
+                          + (f", final k_hat {hist[-1].k_hat:.2f}" if hist
+                             else "") + ")")
+            rckpt.save(state)
+            os.makedirs(rdir, exist_ok=True)
+            with open(rmeta_path, "w") as f:
+                json.dump({"refit_cfg": refit_cfg, "note": refit_note}, f)
 
     # ---- export the production posterior ----
     theta = eng.sample_theta(state.params, jax.random.key(42), 20_000)

@@ -484,8 +484,14 @@ class SequenceVIEngine:
                 return {k: jax.tree_util.tree_map(lambda _: k == "theta", v)
                         for k, v in params.items()}
 
+            # Zero the theta GRADIENTS before the clipped optimizer, not the
+            # updates after it: frozen theta grads must not inflate the
+            # global-norm clip (shrinking path-flow updates — exactly the
+            # post-refit frozen-theta fine-tune case) and a non-finite theta
+            # grad must not make apply_if_finite skip the whole path update
+            # (ADVICE r4).
             self.opt = optax.chain(
-                self.opt, optax.masked(optax.set_to_zero(), _theta_mask))
+                optax.masked(optax.set_to_zero(), _theta_mask), self.opt)
         if self.skip_nonfinite_updates:
             self.opt = optax.apply_if_finite(self.opt,
                                              max_consecutive_errors=10_000)
