@@ -706,17 +706,40 @@ def validate_lv_partial(fast=False):
                 "in log-rate units (lotka_volterra_partial.py:476)",
     }
 
-    # --- learnable-theta recovery config (loose 0.3 priors): PMMH cross-check
+    # --- learnable-theta recovery config (loose 0.3 priors): joint-NUTS
+    # cross-check on the windowed fit, judged through the PF-evidence
+    # forward-KL refit artifact when one exists for the current gold
+    # (scripts/theta_smc_refit.py --config lv_loose). Round 5 retires the
+    # old 1.0 bar: unlike lv_learn_theta's tempered gold, that bar carried
+    # no quantified justification (VERDICT r4 missing #1) — with the refit
+    # this config earns the same 0.5 criterion as SV/FHN.
     pm = _lv_loose_pmmh(fast)
+    refit_theta, judged_pm_tag = None, "windowed"
+    rf = os.path.join(VAL_DIR, "lv_loose_refit.json")
+    if os.path.exists(rf):
+        with open(rf) as f:
+            r = json.load(f)
+        if r.get("gold_file") == pm.get("gold_file"):
+            refit_theta = r["theta"]
+            refit_theta["protocol"] = r.get("protocol")
+            judged_pm_tag = "lv_loose_refit"
+        else:
+            print(f"[lv_partial] stale refit artifact (gold "
+                  f"{r.get('gold_file')} != {pm.get('gold_file')}) — "
+                  f"judging the windowed fit", flush=True)
+    judged_pm = refit_theta if refit_theta is not None else pm
 
-    crit = ("path bias/sd median < 0.3 AND learnable-theta bias/sd < 1.0 "
-            "per coordinate")
+    crit = ("path bias/sd median < 0.3 AND learnable-theta bias/sd < 0.5 "
+            "per coordinate on the production (PF-evidence refit) "
+            "posterior")
     ok = bool(paths["bias_sd_median"] < 0.3
-              and max(pm["bias_in_posterior_sd"]) < 1.0)
+              and max(judged_pm["bias_in_posterior_sd"]) < 0.5)
     notes = [
         f"Criterion: path bias/sd median < 0.3 (observed "
-        f"{paths['bias_sd_median']:.3f}) and learnable-theta bias/sd < 1.0 "
-        f"(observed max {max(pm['bias_in_posterior_sd']):.2f}); "
+        f"{paths['bias_sd_median']:.3f}) and learnable-theta bias/sd < 0.5 "
+        f"(observed max {max(judged_pm['bias_in_posterior_sd']):.2f} on the "
+        f"{judged_pm_tag} posterior; windowed fit max "
+        f"{max(pm['bias_in_posterior_sd']):.2f} recorded alongside); "
         f"{'PASS' if ok else 'FAIL'}.",
         f"frac |z|>2 = {paths['z_frac_gt2']:.2f} is reported but not a "
         f"criterion: the gold path NUTS has per-coordinate ESS in the "
@@ -743,24 +766,22 @@ def validate_lv_partial(fast=False):
         "fast": fast, "vi_steps": steps,
         "paths": paths, "theta_pinned": theta_pinned,
         "theta_learnable_pmmh": pm,
+        "theta_learnable_refit": refit_theta,
+        "judged_learnable_tag": judged_pm_tag,
         "criteria": crit,
         "pass": ok,
         "notes": " ".join(notes),
     })
 
 
-def _lv_loose_pmmh(fast=False):
-    """PMMH vs VI on the loose-prior LV recovery config (the seeds-2..5
-    flagship, scripts/aligned_study.py) — exact marginal theta posterior via
-    bootstrap-SMC evidence on the model's own transition sampler."""
-    import jax
-    import jax.numpy as jnp
-
+def build_lv_loose_engine():
+    """Windowed engine + data for the loose-prior LV recovery config (the
+    seeds-2..5 flagship, scripts/aligned_study.py). Shared by the PMMH
+    cross-check below and the PF-evidence refit
+    (scripts/theta_smc_refit.py --config lv_loose)."""
     from viforssms_tpu.core.config import FlowConfig, TrainConfig, VIConfig
     from viforssms_tpu.data.features import lv_tables
     from viforssms_tpu.data.generate import partial_observe_2d, simulate_lv
-    from viforssms_tpu.distributions.bijectors import Softplus
-    from viforssms_tpu.inference.mcmc.nuts import nuts_sample
     from viforssms_tpu.inference.vi.train import VIEngine
     from viforssms_tpu.models.lotka_volterra import LotkaVolterra
 
@@ -781,6 +802,25 @@ def _lv_loose_pmmh(fast=False):
     model = LotkaVolterra(dt=dt, prior_mean=tuple(np.log(truth)),
                           prior_scale=(0.3,) * 3, jitter=1e-3)
     eng = VIEngine(model=model, cfg=cfg, tables=tables, spec=spec, use_norm=True)
+    info = {"obs": obs, "obs_bin": obs_bin, "x0": x0, "truth": truth,
+            "dt": dt, "target": target}
+    return eng, info
+
+
+def _lv_loose_pmmh(fast=False):
+    """PMMH vs VI on the loose-prior LV recovery config (the seeds-2..5
+    flagship, scripts/aligned_study.py) — exact marginal theta posterior via
+    bootstrap-SMC evidence on the model's own transition sampler."""
+    import jax
+    import jax.numpy as jnp
+
+    from viforssms_tpu.distributions.bijectors import Softplus
+    from viforssms_tpu.inference.mcmc.nuts import nuts_sample
+
+    eng, info = build_lv_loose_engine()
+    model = eng.model
+    obs, obs_bin = info["obs"], info["obs_bin"]
+    x0, truth, target = info["x0"], info["truth"], info["target"]
     steps = 2_000 if fast else 60_000
     state = _train_or_restore(eng, os.path.join(VAL_DIR, "lv_loose"),
                               finite_gate=200 if fast else 1000, num_steps=steps)
@@ -824,15 +864,17 @@ def _lv_loose_pmmh(fast=False):
               flush=True)
         return {"gold": np.asarray(samples)[:, :, :3]}
 
-    gold = _gold_cache(os.path.join(VAL_DIR, "lv_loose"), "joint_nuts",
-                       _nuts_gold,
-                       key={"n_s": n_s, "n_w": n_w, "step_size": 0.01,
-                            "max_depth": 9, "init": init},
-                       adopt_legacy=True)["gold"]
+    g = _gold_cache(os.path.join(VAL_DIR, "lv_loose"), "joint_nuts",
+                    _nuts_gold,
+                    key={"n_s": n_s, "n_w": n_w, "step_size": 0.01,
+                         "max_depth": 9, "init": init},
+                    adopt_legacy=True)
+    gold = g["gold"]
     block = _theta_block(vi_theta, gold, ("log_r1", "log_r2", "log_r3"))
     block["truth_log_rates"] = np.log(truth).tolist()
     block["vi_steps"] = steps
     block["gold_standard"] = "joint NUTS over [theta(3), x_{1:T}]"
+    block["gold_file"] = g.get("__file__")
     return block
 
 

@@ -57,6 +57,13 @@ def test_ladder_smc_refit_isolated_and_idempotent(tmp_path):
         s1 = json.load(f)
     assert "PF-evidence theta refit" in s1["protocol"]
     assert os.path.isdir(os.path.join(out, "refit", "ckpt"))
+    # the ladder posterior ships a loadable serving bundle (round 5)
+    from viforssms_tpu.serving import load_artifacts
+
+    arts = load_artifacts(os.path.join(out, "serving"))
+    assert arts.meta["full_path"] is True
+    th_served = arts.sample_theta(5)
+    assert th_served.shape == (8192, 5) and np.isfinite(th_served).all()
     with open(os.path.join(out, "refit", "refit_meta.json")) as f:
         rmeta = json.load(f)
     assert rmeta["refit_cfg"]["stage2_fit_steps"] == 15

@@ -238,6 +238,11 @@ def ssm2d_smc_evidence(model, obs, obs_bin, x0, theta, n_particles, key):
     obs_bin = jnp.asarray(obs_bin, jnp.float32)   # (2, T)
     n = n_particles
     theta_tile = jnp.tile(theta[None, :], (n, 1))
+    # FHN names its observation sd obs_std, LV obs_scale (both are the
+    # constant-sd masked-Normal models this filter covers)
+    obs_sd = getattr(model, "obs_std", None)
+    if obs_sd is None:
+        obs_sd = model.obs_scale
 
     def step(carry, inp):
         x, log_z, k = carry                       # x: (n, 2)
@@ -245,7 +250,7 @@ def ssm2d_smc_evidence(model, obs, obs_bin, x0, theta, n_particles, key):
         k, k_prop, k_res = jax.random.split(k, 3)
         x = model.predictive_step(k_prop, x, theta_tile)
         lp = jnp.where(m[None, :] > 0,
-                       normal_logpdf(y[None, :], x, model.obs_std), 0.0)
+                       normal_logpdf(y[None, :], x, obs_sd), 0.0)
         lw = jnp.sum(lp, axis=1)
         any_obs = jnp.max(m) > 0
         log_z = log_z + jnp.where(
