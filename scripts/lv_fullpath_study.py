@@ -39,12 +39,14 @@ from validate_baseline import (  # noqa: E402
 
 
 def _load_gold_u():
-    """The cached path-NUTS gold draws (keyed or legacy filename)."""
+    """The cached path-NUTS gold draws (keyed or legacy filename); newest
+    cache wins so the study always judges against the gold validate uses."""
     cands = sorted(glob.glob(os.path.join(VAL_DIR, "lv_partial",
-                                          "gold_path_nuts*.npz")))
+                                          "gold_path_nuts*.npz")),
+                   key=os.path.getmtime)
     assert cands, "run validate_baseline.py lv-partial first"
-    with np.load(cands[0]) as z:
-        return z["u"]                                     # (n, C, 2T)
+    with np.load(cands[-1]) as z:
+        return z["u"], os.path.basename(cands[-1])        # (n, C, 2T)
 
 
 def main():
@@ -64,7 +66,7 @@ def main():
     from viforssms_tpu.inference.vi.sequence_train import SequenceVIEngine
     from viforssms_tpu.utils.checkpoint import Checkpointer
 
-    gold_u = _load_gold_u()
+    gold_u, gold_file = _load_gold_u()
     gold_paths = np.asarray(Softplus().forward(jnp.asarray(gold_u)))
 
     weng, info = build_lv_partial(dat_dir=_dat_dir())
@@ -112,6 +114,7 @@ def main():
         "config": "lv_fullpath",
         "gold_standard": "same cached pinned-theta path NUTS as "
                          "validation/lv_partial.json",
+        "gold_file": gold_file,
         "vi_steps": args.steps,
         "elbo_fullpath": [elbo, se],
         "paths": paths,

@@ -108,3 +108,25 @@ def test_series_sweep_warm_start(tmp_path):
     for j in range(2):
         assert (out / f"series_{j:04d}" / "paths.txt").exists()
     assert not (out / "failures.txt").exists()
+
+
+def test_series_sweep_replicated(tmp_path):
+    """Replica-packed sweep (round 5): groups of R series train in one
+    compiled program; per-series outputs still land in per-series dirs,
+    including the padded last group."""
+    import json
+
+    from viforssms_tpu.cli.experiments import run_series_sweep
+
+    out = tmp_path / "sweep_rep"
+    run_series_sweep(out_dir=str(out), num_series=3, target=21, steps=8,
+                     pre_train=4, synthetic=True, p=4,
+                     kernel_len=4, no_flows=2, net=(8, 8, 8), feat_window=3,
+                     replicas=2)
+    import numpy as np
+    for j in range(3):
+        assert (out / f"series_{j:04d}" / "paths.txt").exists()
+        with open(out / f"series_{j:04d}" / "metrics.jsonl") as f:
+            rec = json.loads(f.readline())
+        assert np.isfinite(rec["ELBO"])
+    assert not (out / "failures.txt").exists()

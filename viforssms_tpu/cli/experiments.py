@@ -678,7 +678,8 @@ def run_lv_learn_theta(dat_dir="dat/scratch", out_dir="out/lv_learn_theta",
 def run_series_sweep(dat_dir="dat", out_dir="out/lv_sweep", num_series=150,
                      target=151, steps=3000, pre_train=1000, fix_theta=True,
                      synthetic=False, p=50, dt=0.2, warm_start=False,
-                     kernel_len=20, no_flows=3, net=(50,) * 5, feat_window=10):
+                     kernel_len=20, no_flows=3, net=(50,) * 5, feat_window=10,
+                     replicas=1):
     """Fault-tolerant per-series sweep (lotka_volterra_latest.py:627-715):
     an independent model per series, trained in sequence, with per-series
     try/except-continue so one diverging series doesn't kill the sweep. In
@@ -730,6 +731,10 @@ def run_series_sweep(dat_dir="dat", out_dir="out/lv_sweep", num_series=150,
     model = LotkaVolterraLearnTheta(dt=dt, prior_mean=prior_mean,
                                     x0_mean=(91.0, 99.0), x0_std=(1.0, 1.0))
     os.makedirs(out_dir, exist_ok=True)
+    if replicas > 1:
+        return _series_sweep_replicated(
+            obs, obs_bin, tt, num_series, target, cfg, model, prior_mean,
+            fix_theta, dt, steps, pre_train, out_dir, replicas)
     eng = None
     warm_params = None
     failures = []
@@ -770,6 +775,76 @@ def run_series_sweep(dat_dir="dat", out_dir="out/lv_sweep", num_series=150,
             for j, msg in failures:
                 f.write(f"{j}\t{msg}\n")
     print(f"sweep done: {num_series - len(failures)}/{num_series} ok", flush=True)
+
+
+def _series_sweep_replicated(obs, obs_bin, tt, num_series, target, cfg, model,
+                             prior_mean, fix_theta, dt, steps, pre_train,
+                             out_dir, replicas):
+    """Replica-packed sweep (round 5): groups of R series train
+    simultaneously in ONE compiled program (``train_many_replicated_tables``)
+    — the reference's per-series loop (``lotka_volterra_latest.py:627-715``)
+    at R-fold MXU batch width. Per-group fault tolerance; the last group
+    pads by repeating its final series (padded replicas are not exported)."""
+    import jax
+    import jax.numpy as jnp
+
+    from viforssms_tpu.data.features import lv_tables
+    from viforssms_tpu.data.io import save_paths_txt
+    from viforssms_tpu.inference.vi.train import VIEngine, metrics_to_dict
+
+    eng = None
+    failures = []
+    for g0 in range(0, num_series, replicas):
+        grp = list(range(g0, min(g0 + replicas, num_series)))
+        real = len(grp)
+        grp = grp + [grp[-1]] * (replicas - real)  # pad to compiled width
+        try:
+            tabs, spec = [], None
+            for j in grp:
+                sl = slice(j * target, (j + 1) * target)
+                t, spec = lv_tables(
+                    obs[:, sl], obs_bin[:, sl], tt[:, sl], cfg.flow.kernel_len,
+                    cfg.flow.no_flows, cfg.flow.feat_window, target,
+                    x0=(91.0, 99.0), dt=dt,
+                )
+                tabs.append(t)
+            tables_r = jax.tree.map(lambda *xs: jnp.stack(xs), *tabs)
+            if eng is None:
+                eng = VIEngine(
+                    model=model, cfg=cfg, tables=tabs[0], spec=spec,
+                    use_norm=True,
+                    fix_theta_value=np.asarray(prior_mean, np.float32)
+                    if fix_theta else None,
+                )
+            states = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[eng.init(jax.random.key(j)) for j in grp])
+            states, _, _ = eng.pretrain_many_replicated_tables(
+                states, tables_r, pre_train)
+            states, ms = eng.train_many_replicated_tables(
+                states, tables_r, steps)
+            for r, j in enumerate(grp[:real]):
+                sdir = os.path.join(out_dir, f"series_{j:04d}")
+                os.makedirs(sdir, exist_ok=True)
+                eng.tables = tabs[r]
+                params_r = jax.tree.map(lambda a: a[r], states.params)
+                paths = eng.sample_posterior_paths(
+                    params_r, jax.random.key(10_000 + j))
+                save_paths_txt(os.path.join(sdir, "paths.txt"), paths)
+                last = jax.tree.map(lambda a: a[r][-1], ms)
+                with open(os.path.join(sdir, "metrics.jsonl"), "w") as f:
+                    f.write(json.dumps(
+                        {"step": steps, **metrics_to_dict(last)}) + "\n")
+                print(f"series {j}: {float(last.elbo):.2f}", flush=True)
+        except Exception as e:  # noqa: BLE001 — per-group fault tolerance
+            failures.extend((j, repr(e)) for j in grp[:real])
+            print(f"group at {g0} FAILED: {e!r} — continuing", flush=True)
+    if failures:
+        with open(os.path.join(out_dir, "failures.txt"), "w") as f:
+            for j, msg in failures:
+                f.write(f"{j}\t{msg}\n")
+    print(f"sweep done: {num_series - len(failures)}/{num_series} ok "
+          f"(replicas={replicas})", flush=True)
 
 
 def _add_ladder_args(sp):
@@ -898,6 +973,10 @@ def main(argv=None):
                     help="Initialize each series from the previous series' "
                          "trained params (skips per-series pre-training; "
                          "~3x fewer steps to a given ELBO — docs/RESULTS.md)")
+    sw.add_argument("--replicas", type=int, default=1,
+                    help="Train groups of R series simultaneously in one "
+                         "compiled program (R-fold MXU batch width; "
+                         "round-5 replica packing)")
 
     args = parser.parse_args(argv)
     if args.tensorboard:
@@ -959,7 +1038,7 @@ def main(argv=None):
                          args.steps, args.pre_train,
                          fix_theta=not args.learn_theta,
                          synthetic=args.synthetic, p=args.p_val,
-                         warm_start=args.warm_start)
+                         warm_start=args.warm_start, replicas=args.replicas)
 
 
 if __name__ == "__main__":

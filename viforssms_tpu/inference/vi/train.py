@@ -515,6 +515,18 @@ class VIEngine:
             return jax.vmap(
                 lambda s: train_many(s, tables, stacked, num_steps))(states)
 
+        def train_many_rep_tables(states, tables, num_steps: int):
+            """Replica-packed training with PER-REPLICA tables (leading
+            replica axis on every table leaf): R different series train
+            simultaneously — the reference's per-series sweep workload
+            (``lotka_volterra_latest.py:627-715``) at R-fold batch width."""
+            return jax.vmap(
+                lambda s, t: train_many(s, t, None, num_steps))(states, tables)
+
+        def pretrain_many_rep_tables(states, tables, num_steps: int):
+            return jax.vmap(
+                lambda s, t: pretrain_many(s, t, None, num_steps))(states, tables)
+
         _train_step = jax.jit(prec(train_step), donate_argnums=donate)
         _train_epoch = jax.jit(prec(train_epoch), donate_argnums=donate)
         _pretrain_epoch = jax.jit(prec(pretrain_epoch), donate_argnums=donate)
@@ -535,6 +547,12 @@ class VIEngine:
                                   donate_argnums=donate)
         self.train_many_replicated = lambda states, n: _train_many_rep(
             states, self.tables, self._stacked, n)
+        _train_many_rep_t = jax.jit(prec(train_many_rep_tables),
+                                    static_argnums=2, donate_argnums=donate)
+        _pretrain_many_rep_t = jax.jit(prec(pretrain_many_rep_tables),
+                                       static_argnums=2, donate_argnums=donate)
+        self.train_many_replicated_tables = _train_many_rep_t
+        self.pretrain_many_replicated_tables = _pretrain_many_rep_t
         self.pretrain_step = lambda state: _pretrain_step(state, self.tables, self._stacked)
         self.pretrain_many = lambda state, n: _pretrain_many(
             state, self.tables, self._stacked, n)
