@@ -64,6 +64,11 @@ def main():
 
     t0 = time.time()
     eng, info = build_fitz_nag(synthetic=True, T=args.T, normalize_time=True)
+    # match the engine the checkpoint was saved under
+    # (scripts/fhn_reference_run.py wraps the optimizer in apply_if_finite)
+    import dataclasses
+
+    eng = dataclasses.replace(eng, skip_nonfinite_updates=True)
     cfg_dir = os.path.join(VAL_DIR, "fhn_ref")
     state = Checkpointer(os.path.join(cfg_dir, "ckpt")).restore(
         eng.init(jax.random.key(1)))

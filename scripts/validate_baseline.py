@@ -727,20 +727,21 @@ def validate_lv_partial(fast=False):
     # --- learnable-theta recovery config (loose 0.3 priors): joint-NUTS
     # cross-check on the windowed fit, judged through the PF-evidence
     # forward-KL refit artifact when one exists for the current gold
-    # (scripts/theta_smc_refit.py --config lv_loose). Round 5 retires the
+    # (scripts/theta_smc_refit.py --config lv_loose,
+    # validation/lv_loose_smc_refit.json). Round 5 retires the
     # old 1.0 bar: unlike lv_learn_theta's tempered gold, that bar carried
     # no quantified justification (VERDICT r4 missing #1) — with the refit
     # this config earns the same 0.5 criterion as SV/FHN.
     pm = _lv_loose_pmmh(fast)
     refit_theta, judged_pm_tag = None, "windowed"
-    rf = os.path.join(VAL_DIR, "lv_loose_refit.json")
+    rf = os.path.join(VAL_DIR, "lv_loose_smc_refit.json")
     if os.path.exists(rf):
         with open(rf) as f:
             r = json.load(f)
         if r.get("gold_file") == pm.get("gold_file"):
             refit_theta = r["theta"]
             refit_theta["protocol"] = r.get("protocol")
-            judged_pm_tag = "lv_loose_refit"
+            judged_pm_tag = "lv_loose_smc_refit"
         else:
             print(f"[lv_partial] stale refit artifact (gold "
                   f"{r.get('gold_file')} != {pm.get('gold_file')}) — "
