@@ -73,6 +73,11 @@ def main():
                          "preferring the gold-shifted mean — "
                          "scripts/lv_path_floor.py). Stage dir "
                          "lv_fullpath_off")
+    ap.add_argument("--offset-scale", type=float, default=1.0,
+                    help="update-scale boost for the mean offset (its ELBO "
+                         "signal is nats over 2T coords — too flat for the "
+                         "shared 1e-3 step). Stage dir lv_fullpath_off2, "
+                         "warm-started from lv_fullpath_off")
     args = ap.parse_args()
 
     from viforssms_tpu.core.platform import apply_platform_env
@@ -114,10 +119,14 @@ def main():
                                  weng.cfg.flow.feat_window, 50,
                                  x0=info["x0"], dt=info["dt"])
         weng = dataclasses.replace(weng, cfg=cfg, tables=tables, spec=spec)
-    tag = ("lv_fullpath_off" if args.mean_offset else
+    boosted = args.mean_offset and args.offset_scale != 1.0
+    tag = ("lv_fullpath_off2" if boosted else
+           "lv_fullpath_off" if args.mean_offset else
            "lv_fullpath_cap" if cap else
            "lv_fullpath" if args.iw_k <= 1 else f"lv_fullpath_iw{args.iw_k}")
     over = {"learn_mean_offset": True} if args.mean_offset else {}
+    if boosted:
+        over["offset_update_scale"] = args.offset_scale
     if args.iw_k > 1:
         eng = SequenceVIEngine.from_windowed(weng, iw_k=args.iw_k,
                                              objective="iwae", **over)
@@ -136,6 +145,15 @@ def main():
         if base is not None:
             state = state._replace(params=base.params)
             print("warm start from lv_fullpath params", flush=True)
+    if restored is None and boosted:
+        # params-only warm start from the unboosted offset stage (the
+        # boosted optimizer has a different opt-state tree)
+        plain = SequenceVIEngine.from_windowed(weng, learn_mean_offset=True)
+        base = Checkpointer(os.path.join(VAL_DIR, "lv_fullpath_off", "ckpt")
+                            ).restore(plain.init(jax.random.key(1)))
+        if base is not None:
+            state = state._replace(params=base.params)
+            print("warm start from lv_fullpath_off params", flush=True)
     t0 = time.time()
     if restored is not None and int(restored.step) > 0:
         state = restored
@@ -174,7 +192,8 @@ def main():
         "flow_config": {"kernel_len": weng.cfg.flow.kernel_len,
                         "no_flows": weng.cfg.flow.no_flows,
                         "network_dims": list(weng.cfg.flow.network_dims),
-                        "mean_offset": bool(args.mean_offset)},
+                        "mean_offset": bool(args.mean_offset),
+                        "offset_update_scale": args.offset_scale},
         "gold_standard": "same cached pinned-theta path NUTS as "
                          "validation/lv_partial.json",
         "gold_file": gold_file,

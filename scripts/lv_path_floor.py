@@ -81,6 +81,11 @@ def main():
 
     t0 = time.time()
     weng, info = build_lv_partial(dat_dir=_dat_dir())
+    over = {}
+    if args.tag == "lv_fullpath_off":
+        over = {"learn_mean_offset": True}
+    if args.tag == "lv_fullpath_off2":
+        over = {"learn_mean_offset": True, "offset_update_scale": 5.0}
     if args.tag == "lv_fullpath_cap":
         kl, nf, w = 20, args.no_flows, args.net_width
         cfg = dataclasses.replace(
@@ -92,7 +97,7 @@ def main():
                                  weng.cfg.flow.feat_window, 50,
                                  x0=info["x0"], dt=info["dt"])
         weng = dataclasses.replace(weng, cfg=cfg, tables=tables, spec=spec)
-    eng = SequenceVIEngine.from_windowed(weng)
+    eng = SequenceVIEngine.from_windowed(weng, **over)
     state = Checkpointer(os.path.join(VAL_DIR, args.tag, "ckpt")).restore(
         eng.init(jax.random.key(1)))
     assert state is not None, f"run lv_fullpath_study for {args.tag} first"

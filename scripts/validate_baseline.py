@@ -701,8 +701,8 @@ def validate_lv_partial(fast=False):
     # artifact was computed against the SAME cached gold; the windowed
     # reference-parity fit is recorded alongside.
     paths, judged_paths_tag = paths_windowed, "windowed"
-    for fp_tag in ("lv_fullpath_off", "lv_fullpath_cap", "lv_fullpath_iw25",
-                   "lv_fullpath"):
+    for fp_tag in ("lv_fullpath_off2", "lv_fullpath_off", "lv_fullpath_cap",
+                   "lv_fullpath_iw25", "lv_fullpath"):
         fp_study = os.path.join(VAL_DIR, f"{fp_tag}.json")
         if not os.path.exists(fp_study):
             continue

@@ -425,6 +425,12 @@ class SequenceVIEngine:
     # the params pytree (adds "offset") — not checkpoint-compatible with
     # False.
     learn_mean_offset: bool = False
+    # Multiplier on the offset's UPDATES (post-Adamax, so it acts as a
+    # per-subtree learning rate — Adamax itself is gradient-scale
+    # invariant). The offset's ELBO signal is ~nats over 2T coordinates
+    # (wide flat basin): at the shared 1e-3 step it random-walks instead of
+    # descending. Measured: 60k steps left the probe's +1.7 nats unclaimed.
+    offset_update_scale: float = 1.0
     # Skip parameter updates whose gradients are non-finite (optax.
     # apply_if_finite). Cold full-path training can produce a single inf
     # gradient from an extreme-tail particle (a full-path SDE term is ~T/b
@@ -501,6 +507,14 @@ class SequenceVIEngine:
             beta2=cfg.train.beta2,
             grad_clip=cfg.train.grad_clip,
         )
+        if self.learn_mean_offset and self.offset_update_scale != 1.0:
+            def _offset_mask(params):
+                return {k: jax.tree_util.tree_map(lambda _: k == "offset", v)
+                        for k, v in params.items()}
+
+            self.opt = optax.chain(
+                self.opt, optax.masked(
+                    optax.scale(self.offset_update_scale), _offset_mask))
         if self.freeze_theta:
             def _theta_mask(params):
                 return {k: jax.tree_util.tree_map(lambda _: k == "theta", v)
