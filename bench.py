@@ -120,7 +120,7 @@ def main(argv=None):
     # seeds-2..5 sweeps are independent replicas). Aggregate steps/s =
     # R * per-replica rate; each replica is EXACTLY the reference step.
     best = (single_sps, 1)
-    for R in (4, 8):
+    for R in (4, 8, 16):
         states = eng.init_replicated(jax.random.key(1), R)
         rchunk = max(250, chunk // R)
         states, ms = eng.train_many_replicated(states, rchunk)   # compile
