@@ -43,8 +43,16 @@ def _engines(num_series: int, p_val: int):
                                      p_val=p_val)
     # production settings: bf16 MXU passes (quality validated on the LV
     # bench, docs/RESULTS.md), aligned feats + stacked gathers are already
-    # the engine defaults
-    prod = dataclasses.replace(eng, matmul_precision="bfloat16")
+    # the engine defaults. Round 5 adds bf16 ACTIVATIONS through the
+    # conv/tower (FlowConfig.compute_dtype): +6.5% steps/s at this
+    # bandwidth-mixed shape with matched training ELBO
+    # (validation/mfu_study.json: base -1603 vs bf16_act -1591 after equal
+    # schedules). Densities/ELBO stay f32.
+    prod = dataclasses.replace(
+        eng, matmul_precision="bfloat16",
+        cfg=dataclasses.replace(
+            eng.cfg, flow=dataclasses.replace(eng.cfg.flow,
+                                              compute_dtype="bfloat16")))
     return eng, prod, info
 
 

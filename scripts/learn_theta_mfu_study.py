@@ -115,6 +115,111 @@ def main():
         combo_kw["prng_impl"] = "rbg"
     out["combo"] = variant(f"combo {sorted(combo_kw)}", **combo_kw)
     out["combo_kw"] = sorted(combo_kw)
+
+    # --- wider-batch packing (VERDICT r4 item 6 "larger series batch per
+    # step"): p=256 fuses TWO reference batches into one step. mfu_fields
+    # counts FLOPs at the packed p, so mfu_bf16 is directly comparable;
+    # ref-step equivalents = steps/s * (p/128).
+    packed_series, packed_p = 512, 256
+    pbase, _ = build_lv_learn_theta(synthetic=True,
+                                    num_series=packed_series,
+                                    p_val=packed_p)
+    peng = dataclasses.replace(
+        pbase, matmul_precision="bfloat16",
+        cfg=dataclasses.replace(
+            pbase.cfg, flow=dataclasses.replace(
+                pbase.cfg.flow, compute_dtype="bfloat16")))
+    sps, elbo = _measure(peng, packed_series, packed_p)
+    rec = {"steps_per_sec": round(sps, 1),
+           "ref_step_equivalents_per_sec": round(sps * packed_p / 128, 1),
+           "elbo_after": elbo}
+    rec.update(mfu_fields(peng, sps))
+    print(f"packed p={packed_p}: {sps:.1f} steps/s "
+          f"({rec['ref_step_equivalents_per_sec']} ref-step-equiv/s), "
+          f"mfu_bf16 {rec.get('mfu_bf16')}", flush=True)
+    out["packed_p256"] = rec
+
+    # --- measured step breakdown at the winning config (bf16 activations):
+    # forward-only loss vs forward+backward(+grad norm) vs the full
+    # production step. Attributes the 100%-MFU gap to fwd / bwd / update
+    # phases with on-device scans (no dispatch noise).
+    import jax
+    import jax.numpy as jnp
+
+    weng = dataclasses.replace(
+        base, matmul_precision="bfloat16",
+        cfg=dataclasses.replace(
+            base.cfg, flow=dataclasses.replace(base.cfg.flow,
+                                               compute_dtype="bfloat16")))
+    idx = jnp.asarray(np.stack([
+        np.arange(i, i + p_val, dtype=np.int32)
+        for i in range(0, num_series - p_val + 1, p_val)
+    ]))
+    n_rows = idx.shape[0]
+    state = weng.init(jax.random.key(0))
+    params = state.params
+    scan_steps = 256
+
+    def timed(fn_step, tag):
+        @jax.jit
+        def many(params, key):
+            def body(c, _):
+                k, i = c
+                k1, k2 = jax.random.split(k)
+                v = fn_step(params, k1, idx[i % n_rows])
+                return (k2, i + 1), v
+            (_, _), vs = jax.lax.scan(body, (key, jnp.int32(0)), None,
+                                      length=scan_steps)
+            return vs[-1]
+        float(many(params, jax.random.key(1)))          # compile + warm
+        rates = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            float(many(params, jax.random.key(2 + i)))  # host-read fence
+            if i > 0:
+                rates.append(scan_steps / (time.perf_counter() - t0))
+        rates.sort()
+        r = rates[len(rates) // 2]
+        print(f"breakdown/{tag}: {r:.1f} evals/s", flush=True)
+        return r
+
+    def prec(f):
+        if weng.matmul_precision is None:
+            return f
+        def g(*a):
+            with jax.default_matmul_precision(weng.matmul_precision):
+                return f(*a)
+        return g
+
+    fwd_rate = timed(prec(lambda p, k, s: weng._loss(p, k, s)[0]), "fwd")
+    import optax
+
+    def fwd_bwd(p, k, s):
+        g = jax.grad(lambda pp: weng._loss(pp, k, s)[0])(p)
+        return optax.global_norm(g)                     # consumed like the clip
+
+    fb_rate = timed(prec(fwd_bwd), "fwd+bwd+norm")
+    full_rate = out.get("bf16_act", out["base"])["steps_per_sec"]
+    t_fwd, t_fb, t_full = 1e3 / fwd_rate, 1e3 / fb_rate, 1e3 / full_rate
+    from viforssms_tpu.utils.roofline import device_peak, engine_step_flops
+
+    fwd_flops = engine_step_flops(weng) / 3             # fwd is 1/3 of total
+    pk = (device_peak(jax.devices()[0]) or {}).get("bf16_tflops", 197.0)
+    out["breakdown"] = {
+        "config": "bf16 activations, on-device 256-step scans",
+        "fwd_evals_per_sec": round(fwd_rate, 1),
+        "fwd_bwd_norm_evals_per_sec": round(fb_rate, 1),
+        "full_step_per_sec": full_rate,
+        "ms_fwd": round(t_fwd, 3),
+        "ms_bwd": round(t_fb - t_fwd, 3),
+        "ms_update_and_epoch_overhead": round(t_full - t_fb, 3),
+        "ms_full": round(t_full, 3),
+        "fwd_mfu_bf16": round(
+            100 * fwd_flops * fwd_rate / 1e12 / pk, 2),
+        "bwd_mfu_bf16": round(
+            100 * 2 * fwd_flops / 1e12 / max(t_fb - t_fwd, 1e-9) * 1e3
+            / pk, 2),
+    }
     out["timestamp"] = time.strftime("%Y-%m-%d %H:%M:%S")
     with open(os.path.join(VAL_DIR, "mfu_study.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -159,3 +159,30 @@ def test_batched_feat_mlp_matches_per_flow():
     x1, lq1 = stack_b.apply(pb, z, feats, theta)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(lq1), np.asarray(lq0), rtol=1e-5, atol=1e-5)
+
+
+def test_compute_dtype_bf16_matches_f32():
+    """bf16 activation compute (FlowConfig.compute_dtype, the round-5
+    production learn-theta bench setting) must keep params f32, return f32
+    outputs, and agree with the f32 path to activation-rounding tolerance
+    — mu/sigma and density math are cast back to f32 by design
+    (flows/nma.py ConvIAF.compute_dtype)."""
+    stack, params, z, feats, theta, kext, out_len = _build(2, True, True)
+    stack16 = stack.clone(compute_dtype="bfloat16")
+    x0, lq0 = stack.apply(params, z, feats, theta)
+    x1, lq1 = stack16.apply(params, z, feats, theta)
+    assert x1.dtype == jnp.float32 and lq1.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(x1)))
+    # bf16 has ~3 decimal digits; paths are O(1) at this init
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(lq1), np.asarray(lq0),
+                               rtol=0.05, atol=0.5)
+    # gradients flow and stay finite through the bf16 compute
+    def loss(p):
+        _, lq = stack16.apply(p, z, feats, theta)
+        return jnp.sum(lq)
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert leaves and all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert all(l.dtype == jnp.float32 for l in leaves)
