@@ -119,8 +119,10 @@ def main(argv=None):
     # p=50 replica leaves idle (VERDICT r4 item 4; the reference's
     # seeds-2..5 sweeps are independent replicas). Aggregate steps/s =
     # R * per-replica rate; each replica is EXACTLY the reference step.
+    # R=16 measured 1102 steps/s (worse than single; docs/RESULTS.md round-5
+    # replica study) — the sweep keeps the two contenders
     best = (single_sps, 1)
-    for R in (4, 8, 16):
+    for R in (4, 8):
         states = eng.init_replicated(jax.random.key(1), R)
         rchunk = max(250, chunk // R)
         states, ms = eng.train_many_replicated(states, rchunk)   # compile
