@@ -794,11 +794,12 @@ def validate_lv_partial(fast=False):
                   f"judging the windowed fit", flush=True)
     judged_pm = refit_theta if refit_theta is not None else pm
 
-    crit = ("path bias/sd median < 0.3 on the production (full-path) "
-            "posterior AND learnable-theta bias/sd < 0.5 per coordinate on "
-            "the production (PF-evidence refit) posterior; windowed "
-            "reference-parity blocks recorded alongside")
-    ok = bool(paths["bias_sd_median"] < 0.3
+    crit = ("path bias/sd median < 0.3 with p99 < 2.0 gold SDs on the "
+            "production (full-path) posterior (same guard as SV/FHN) AND "
+            "learnable-theta bias/sd < 0.5 per coordinate on the production "
+            "(PF-evidence refit) posterior; windowed reference-parity blocks "
+            "recorded alongside")
+    ok = bool(_paths_pass(paths)
               and max(judged_pm["bias_in_posterior_sd"]) < 0.5)
     notes = [
         f"Criterion: path bias/sd median < 0.3 (observed "
